@@ -1,0 +1,12 @@
+"""TPU-native speaker-verification framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+yeyupiaoling/VoiceprintRecognition-PaddlePaddle (``ppvector`` v1.1.1,
+see reference ``ppvector/__init__.py:1``): audio front-end, six
+speaker-embedding backbones, margin-softmax training, EER/MinDCF
+evaluation, and the contrast / recognition / diarization inference
+surface — designed TPU-first (device meshes, static shapes, MXU-friendly
+feature extraction) rather than translated from the reference.
+"""
+
+__version__ = "0.1.0"

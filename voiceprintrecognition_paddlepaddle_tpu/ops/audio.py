@@ -1,0 +1,277 @@
+"""Host-side audio container: decode / resample / normalize / crop / VAD.
+
+Absorbs the ``yeaudio.audio.AudioSegment`` API surface the reference leans
+on (reference ``ppvector/data_utils/reader.py:8-10,87-101`` and
+``ppvector/predict.py:196-216``): ``from_file/from_bytes/from_ndarray``,
+``samples``, ``sample_rate``, ``duration``, ``resample``, ``normalize``,
+``gain_db``, ``crop``, ``vad``, ``to_wav_file``, ``to_bytes``.
+
+Host work is intentionally minimal — decode and byte I/O only; heavy DSP
+(feature extraction, augmentation) runs on device in ``ops.features`` /
+``ops.augment``. WAV decode uses the stdlib + numpy (no libsndfile in this
+environment); resampling is polyphase via scipy.
+"""
+
+import io
+import random
+import struct
+import wave
+
+import numpy as np
+from scipy.signal import resample_poly
+
+__all__ = ["AudioSegment"]
+
+
+def _decode_wav(fobj):
+    """Decode a WAV file object to (float32 mono-or-multi samples, rate)."""
+    with wave.open(fobj, "rb") as w:
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        ints = (b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+        data = ints.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
+    return np.ascontiguousarray(data), rate
+
+
+def _decode_ieee_float_wav(path_or_bytes):
+    """Fallback RIFF parser for IEEE-float WAVs the stdlib rejects."""
+    if isinstance(path_or_bytes, bytes):
+        buf = path_or_bytes
+    else:
+        with open(path_or_bytes, "rb") as f:
+            buf = f.read()
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_fmt == 3 and bits == 64:
+        samples = np.frombuffer(data, dtype="<f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_fmt}/{bits}bit")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return np.ascontiguousarray(samples), rate
+
+
+class AudioSegment:
+    """Mono float32 waveform with a sample rate."""
+
+    def __init__(self, samples, sample_rate):
+        samples = np.asarray(samples, dtype=np.float32)
+        if samples.ndim == 2:
+            samples = samples.mean(axis=1)
+        self._samples = np.ascontiguousarray(samples)
+        self._sample_rate = int(sample_rate)
+
+    # ------------------------------------------------------------------
+    # constructors (reference ``predict.py:196-207`` dispatch)
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_file(cls, file):
+        if hasattr(file, "read"):
+            data = file.read()
+            return cls.from_bytes(data)
+        try:
+            samples, rate = _decode_wav(str(file))
+        except (wave.Error, EOFError):
+            samples, rate = _decode_ieee_float_wav(str(file))
+        return cls(samples, rate)
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        try:
+            samples, rate = _decode_wav(io.BytesIO(data))
+        except (wave.Error, EOFError):
+            samples, rate = _decode_ieee_float_wav(data)
+        return cls(samples, rate)
+
+    @classmethod
+    def from_ndarray(cls, data, samplerate=16000):
+        data = np.asarray(data)
+        if data.dtype.kind == "i":
+            scale = float(np.iinfo(data.dtype).max) + 1.0
+            data = data.astype(np.float32) / scale
+        return cls(data, samplerate)
+
+    # ------------------------------------------------------------------
+    # properties
+    # ------------------------------------------------------------------
+    @property
+    def samples(self):
+        return self._samples
+
+    @property
+    def sample_rate(self):
+        return self._sample_rate
+
+    @property
+    def duration(self):
+        return self._samples.shape[0] / float(self._sample_rate)
+
+    @property
+    def num_samples(self):
+        return int(self._samples.shape[0])
+
+    def rms_db(self):
+        mean_square = float(np.mean(self._samples ** 2))
+        if mean_square <= 1e-30:
+            return -100.0
+        return 10.0 * np.log10(mean_square)
+
+    # ------------------------------------------------------------------
+    # in-place transforms (reference reader.py:91-101 call pattern)
+    # ------------------------------------------------------------------
+    def resample(self, target_sample_rate, filter="kaiser_best"):
+        if target_sample_rate == self._sample_rate:
+            return self
+        g = np.gcd(int(self._sample_rate), int(target_sample_rate))
+        up, down = target_sample_rate // g, self._sample_rate // g
+        self._samples = resample_poly(self._samples, up, down).astype(np.float32)
+        self._sample_rate = int(target_sample_rate)
+        return self
+
+    def gain_db(self, gain):
+        self._samples = self._samples * (10.0 ** (gain / 20.0))
+        return self
+
+    def normalize(self, target_db=-20, max_gain_db=300.0):
+        """Gain the segment so its RMS reaches ``target_db`` dBFS."""
+        gain = target_db - self.rms_db()
+        gain = min(gain, max_gain_db)
+        return self.gain_db(gain)
+
+    def crop(self, duration, mode="eval"):
+        """Keep ``duration`` seconds: random window in train mode, the
+        leading window otherwise (reference ``reader.py:100-101``)."""
+        num_keep = int(duration * self._sample_rate)
+        if num_keep >= self._samples.shape[0]:
+            return self
+        if mode == "train":
+            start = random.randint(0, self._samples.shape[0] - num_keep)
+        else:
+            start = 0
+        self._samples = self._samples[start:start + num_keep]
+        return self
+
+    def pad_silence(self, duration, sides="end"):
+        n = int(duration * self._sample_rate)
+        pad = np.zeros(n, dtype=np.float32)
+        if sides == "beginning":
+            self._samples = np.concatenate([pad, self._samples])
+        elif sides == "end":
+            self._samples = np.concatenate([self._samples, pad])
+        else:
+            self._samples = np.concatenate([pad, self._samples, pad])
+        return self
+
+    # ------------------------------------------------------------------
+    # VAD (energy-based; replaces yeaudio's VAD used at
+    # reference ``infer_utils/speaker_diarization.py:37``)
+    # ------------------------------------------------------------------
+    def vad(self, return_seconds=True, frame_ms=30, energy_offset_db=18.0,
+            min_speech_ms=210, max_silence_ms=300):
+        """Energy-threshold voice-activity detection.
+
+        Frames the signal at ``frame_ms``; a frame is speech when its RMS
+        exceeds (noise floor + ``energy_offset_db``), where the noise floor
+        is the 10th-percentile frame energy. Adjacent speech runs closer
+        than ``max_silence_ms`` are merged, runs shorter than
+        ``min_speech_ms`` dropped. Returns ``[{'start':, 'end':}, ...]``
+        in seconds (or samples if ``return_seconds=False``).
+        """
+        sr = self._sample_rate
+        frame_len = max(1, int(sr * frame_ms / 1000))
+        n_frames = len(self._samples) // frame_len
+        if n_frames == 0:
+            return []
+        frames = self._samples[:n_frames * frame_len].reshape(n_frames, frame_len)
+        energy = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
+        floor = np.percentile(energy, 10)
+        speech = energy > floor + energy_offset_db
+        if not speech.any():
+            return []
+
+        # merge runs separated by short silence, drop short runs
+        max_sil = max(1, int(max_silence_ms / frame_ms))
+        min_spc = max(1, int(min_speech_ms / frame_ms))
+        segments = []
+        start = None
+        silence = 0
+        for i, s in enumerate(speech):
+            if s:
+                if start is None:
+                    start = i
+                silence = 0
+            elif start is not None:
+                silence += 1
+                if silence > max_sil:
+                    end = i - silence + 1
+                    if end - start >= min_spc:
+                        segments.append((start, end))
+                    start, silence = None, 0
+        if start is not None:
+            end = n_frames - silence if silence else n_frames
+            if end - start >= min_spc:
+                segments.append((start, end))
+
+        results = []
+        for s, e in segments:
+            a, b = s * frame_len, min(e * frame_len, len(self._samples))
+            if return_seconds:
+                results.append({"start": a / sr, "end": b / sr})
+            else:
+                results.append({"start": a, "end": b})
+        return results
+
+    # ------------------------------------------------------------------
+    # serialization
+    # ------------------------------------------------------------------
+    def to_bytes(self, dtype="int16"):
+        if dtype == "int16":
+            return (np.clip(self._samples, -1, 1) * 32767.0).astype("<i2").tobytes()
+        if dtype == "float32":
+            return self._samples.astype("<f4").tobytes()
+        raise ValueError(f"unsupported dtype {dtype}")
+
+    def to_wav_file(self, filepath):
+        with wave.open(str(filepath), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(self._sample_rate)
+            w.writeframes(self.to_bytes("int16"))
+
+    def __len__(self):
+        return self.num_samples
+
+    def __repr__(self):
+        return (f"AudioSegment(duration={self.duration:.3f}s, "
+                f"sample_rate={self._sample_rate})")
