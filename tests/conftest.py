@@ -1,10 +1,19 @@
 """Test env: run JAX on 8 virtual CPU devices so sharding/collective tests
 work without TPU hardware (the reference has no analogue of this —
-multi-GPU was only testable by launching real processes, SURVEY.md §4)."""
+multi-GPU was only testable by launching real processes, SURVEY.md §4).
+
+Note: the env var JAX_PLATFORMS alone is NOT enough here — the machine's
+'axon' TPU plugin overrides it, and every compile would cross the TPU
+tunnel. jax.config.update is authoritative.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,58 @@
+"""Batch collation with XLA-friendly bucketed static shapes.
+
+The reference pads each batch to its own longest item
+(``ppvector/data_utils/collate_fn.py:5-23``), which on TPU would trigger a
+recompile per batch shape. Here lengths round up to a small set of bucket
+sizes (powers-of-√2 progression) so eval over variable-length audio
+compiles a handful of programs; train batches are already fixed-length.
+"""
+
+import math
+
+import numpy as np
+
+__all__ = ["collate_waveforms", "collate_features", "bucket_length"]
+
+
+def bucket_length(n, minimum=16000):
+    """Smallest bucket ≥ n from a ×√2 progression starting at ``minimum``."""
+    if n <= minimum:
+        return minimum
+    steps = math.ceil(math.log(n / minimum) / math.log(math.sqrt(2)))
+    return int(round(minimum * math.sqrt(2) ** steps))
+
+
+def collate_waveforms(batch, bucket=True):
+    """``[(wave (L,), label, valid), ...]`` →
+    (waves (B, Lb), labels (B,), lens_ratio (B,))."""
+    max_len = max(item[0].shape[0] for item in batch)
+    if bucket:
+        max_len = bucket_length(max_len)
+    b = len(batch)
+    waves = np.zeros((b, max_len), dtype=np.float32)
+    labels = np.empty((b,), dtype=np.int64)
+    ratios = np.empty((b,), dtype=np.float32)
+    for i, (w, label, valid) in enumerate(batch):
+        waves[i, :w.shape[0]] = w
+        labels[i] = label
+        ratios[i] = min(valid, max_len) / max_len
+    return waves, labels, ratios
+
+
+def collate_features(batch, bucket=True):
+    """``[(feature (T, F), label, valid_T), ...]`` →
+    (features (B, Tb, F), labels, lens_ratio). Same contract as reference
+    ``collate_fn.py:5-23`` but bucketed."""
+    max_t = max(item[0].shape[0] for item in batch)
+    if bucket:
+        max_t = bucket_length(max_t, minimum=128)
+    f = batch[0][0].shape[1]
+    b = len(batch)
+    feats = np.zeros((b, max_t, f), dtype=np.float32)
+    labels = np.empty((b,), dtype=np.int64)
+    ratios = np.empty((b,), dtype=np.float32)
+    for i, (x, label, valid) in enumerate(batch):
+        feats[i, :x.shape[0]] = x
+        labels[i] = label
+        ratios[i] = min(valid, max_t) / max_t
+    return feats, labels, ratios

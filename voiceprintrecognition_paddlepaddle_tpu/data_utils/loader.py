@@ -1,0 +1,69 @@
+"""Threaded prefetching data loader.
+
+Replaces the reference's multiprocess ``paddle.io.DataLoader`` workers
+(reference ``trainer.py:108-111``). Audio decode releases the GIL inside
+numpy/scipy, so a thread pool + bounded prefetch queue keeps the TPU fed
+without process-spawn overhead; the heavy DSP all happens on device anyway
+(see ``data_utils/reader.py``). A C++ decode path can slot in underneath
+without changing this interface.
+"""
+
+import queue
+import threading
+
+__all__ = ["DataLoader"]
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_sampler, collate_fn, num_workers=4,
+                 prefetch=4):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.collate_fn = collate_fn
+        self.num_workers = max(1, int(num_workers))
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        batches = list(self.batch_sampler)
+        out_q = queue.Queue(maxsize=self.prefetch)
+        results = {}
+        results_lock = threading.Lock()
+        next_emit = [0]
+        job_q = queue.Queue()
+        for i, b in enumerate(batches):
+            job_q.put((i, b))
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i, indices = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    items = [self.dataset[j] for j in indices]
+                    batch = self.collate_fn(items)
+                except Exception as e:  # surface worker errors to consumer
+                    batch = e
+                # emit strictly in order so epochs are deterministic
+                with results_lock:
+                    results[i] = batch
+                    while next_emit[0] in results:
+                        out_q.put(results.pop(next_emit[0]))
+                        next_emit[0] += 1
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(len(batches)):
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -266,3 +266,18 @@ class AudioFeaturizer:
     @property
     def feature_method(self):
         return self._feature_method
+
+    def num_frames(self, num_samples: int) -> int:
+        """Exact frame count this featurizer yields for ``num_samples``
+        valid samples — used for length-ratio masks and to trim padded
+        outputs back to their true length."""
+        a = self._method_args
+        sr = a.get("sr", 16000)
+        if self._feature_method == "Fbank":
+            fl = int(sr * a.get("frame_length", 25.0) / 1000)
+            fs = int(sr * a.get("frame_shift", 10.0) / 1000)
+            return kaldi.num_frames_snip_edges(num_samples, fl, fs)
+        n_fft = a.get("n_fft", 512)
+        win = a.get("win_length") or n_fft
+        hop = a.get("hop_length") or win // 4
+        return 1 + num_samples // hop

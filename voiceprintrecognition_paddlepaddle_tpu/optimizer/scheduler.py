@@ -15,6 +15,8 @@ exponentially (or linearly) between ``increase_start_epoch`` and
 
 import math
 
+import jax.numpy as jnp
+
 __all__ = ["cosine_decay_with_warmup", "WarmupCosineSchedulerLR",
            "CosineAnnealingDecay", "MarginScheduler"]
 
@@ -22,19 +24,20 @@ __all__ = ["cosine_decay_with_warmup", "WarmupCosineSchedulerLR",
 def cosine_decay_with_warmup(learning_rate, step_per_epoch, fix_epoch=1000,
                              warmup_epoch=5, min_lr=0.0):
     """Returns schedule(step) -> lr, numerically equal to the reference's
-    per-step table (``optimizer/scheduler.py:6-40``)."""
+    per-step table (``optimizer/scheduler.py:6-40``). Traceable: optax
+    evaluates it on the device step counter inside jit."""
     warmup_steps = int(warmup_epoch * step_per_epoch)
     max_iters = int(fix_epoch) * int(step_per_epoch)
 
     def schedule(step):
-        step = float(step)
-        if warmup_steps > 0 and step < warmup_steps:
-            return learning_rate * step / warmup_steps
-        if step >= max_iters:
-            return min_lr
-        progress = (step - warmup_steps) / max(max_iters - warmup_steps, 1)
-        return min_lr + (learning_rate - min_lr) * 0.5 * (
-            math.cos(progress * math.pi) + 1.0)
+        step = jnp.asarray(step, jnp.float32)
+        warm = learning_rate * step / max(warmup_steps, 1)
+        progress = jnp.clip(
+            (step - warmup_steps) / max(max_iters - warmup_steps, 1),
+            0.0, 1.0)
+        cos = min_lr + (learning_rate - min_lr) * 0.5 * (
+            jnp.cos(progress * jnp.pi) + 1.0)
+        return jnp.where(step < warmup_steps, warm, cos)
 
     return schedule
 
@@ -48,8 +51,9 @@ def CosineAnnealingDecay(learning_rate, T_max, eta_min=0.0, **_):
     its scheduler every batch, ``trainer.py:272``)."""
 
     def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
         return eta_min + (learning_rate - eta_min) * 0.5 * (
-            1.0 + math.cos(math.pi * float(step) / T_max))
+            1.0 + jnp.cos(jnp.pi * step / T_max))
 
     return schedule
 

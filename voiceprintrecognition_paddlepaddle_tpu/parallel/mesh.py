@@ -1,0 +1,60 @@
+"""Device mesh + data-parallel sharding.
+
+The reference's only distribution strategy is NCCL data parallelism via
+paddle Fleet (reference ``ppvector/trainer.py:299-320``,
+``pk_sampler.py:41-44``; SURVEY.md §2.2). The TPU-native equivalent: a 1-D
+``jax.sharding.Mesh`` over all devices with axis ``'data'``; parameters are
+replicated, batches sharded on axis 0, and ``jit`` inserts the gradient
+all-reduce over ICI/DCN automatically — no explicit collectives and no
+per-process model wrappers.
+
+Multi-host: call ``jax.distributed.initialize`` before anything else; each
+host feeds its local shard (``shard_batch`` builds the global array from
+per-host data), and rank-0-only side effects use
+``jax.process_index() == 0`` exactly where the reference gates on
+``local_rank == 0``.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch", "local_process_info"]
+
+
+def create_mesh(devices=None, axis_name="data"):
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name="data"):
+    """Shard axis 0 across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    """Device-put a (tuple of) host array(s) with batch-axis sharding.
+
+    With multiple processes, each host passes its *local* shard and the
+    global array is assembled across hosts
+    (``jax.make_array_from_process_local_data``).
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    def _put(x):
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+    return jax.tree.map(_put, batch)
+
+
+def local_process_info():
+    """(rank, world_size) in reference terms (``trainer.py:292-293``)."""
+    return jax.process_index(), jax.process_count()

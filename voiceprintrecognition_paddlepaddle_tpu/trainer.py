@@ -1,0 +1,628 @@
+"""Training / evaluation orchestrator.
+
+API parity with reference ``ppvector/trainer.py:33-474``
+(``PPVectorTrainer``: train / evaluate / extract_features / export, YAML
+configs, augmentation configs, auto-resume, best-model tracking,
+TensorBoard scalars, rank-0 gating) — built TPU-first:
+
+- one jitted, donated train step fuses device-side augmentation, feature
+  extraction (MXU matmul Fbank), the backbone+classifier forward, the
+  margin loss, and the optimizer update; the reference spreads this over
+  CPU workers + many small GPU launches (``trainer.py:202-274``);
+- data parallelism is a 1-D ``Mesh`` + ``NamedSharding`` (params
+  replicated, batch sharded) instead of Fleet/NCCL wrappers
+  (``trainer.py:299-320``); BatchNorm statistics become *global-batch*
+  under jit (an improvement over the reference's per-replica BN);
+- LR and margin schedules are closed-form functions of the step counter,
+  so resume never replays scheduler steps (``checkpoint.py`` in reference);
+- eval scoring is one on-chip matmul over normalized embeddings instead of
+  a per-trial sklearn loop (``trainer.py:416-423``).
+"""
+
+import os
+import time
+from datetime import timedelta
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+from flax import struct
+
+from .data_utils import (DataLoader, SpeakerDataset, collate_features,
+                         collate_waveforms)
+from .data_utils.pk_sampler import BatchSampler, PKSampler
+from .loss import build_loss
+from .metric.metrics import compute_dcf, compute_eer, compute_fnr_fpr
+from .models import build_model
+from .models.fc import SpeakerIdentification
+from .ops.augment import DeviceAugmenter
+from .ops.features import AudioFeaturizer
+from .optimizer import MarginScheduler, build_lr_scheduler, build_optimizer
+from .parallel import (batch_sharding, create_mesh, local_process_info,
+                       replicated_sharding, shard_batch)
+from .utils.checkpoint import (load_checkpoint, load_pretrained,
+                               save_checkpoint, save_msgpack)
+from .utils.logger import logger
+from .utils.utils import dict_to_object, print_arguments
+
+__all__ = ["Trainer", "TrainState"]
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    loss_params: Any
+    opt_state: Any
+    step: Any
+
+
+def _count_params(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+class Trainer:
+    """``Trainer(configs, use_gpu=True, data_augment_configs=None)`` —
+    constructor signature kept from the reference (``use_gpu`` maps to
+    "use the accelerator"; with no TPU visible JAX falls back to CPU)."""
+
+    def __init__(self, configs, use_gpu=True, data_augment_configs=None):
+        if isinstance(configs, str):
+            with open(configs, "r", encoding="utf-8") as f:
+                configs = yaml.load(f.read(), Loader=yaml.FullLoader)
+            print_arguments(configs=configs)
+        self.configs = dict_to_object(configs)
+        if isinstance(data_augment_configs, str):
+            with open(data_augment_configs, "r", encoding="utf-8") as f:
+                data_augment_configs = yaml.load(f.read(),
+                                                 Loader=yaml.FullLoader)
+            print_arguments(configs=data_augment_configs,
+                            title="augmentation configs")
+        self.data_augment_configs = dict_to_object(data_augment_configs or {})
+        self.use_gpu = use_gpu
+
+        self.audio_featurizer = None
+        self.train_dataset = self.train_loader = None
+        self.enroll_dataset = self.enroll_loader = None
+        self.trials_dataset = self.trials_loader = None
+        self.model = self.classifier = None
+        self.state = None
+        self.criterion = None
+        self.margin_scheduler = None
+        self.lr_schedule = None
+        self.optimizer = None
+        self.augmenter = None
+        self.mesh = None
+        self.amp_dtype = (jnp.bfloat16
+                          if self.configs.train_conf.get("enable_amp", False)
+                          else None)
+
+        self.max_step = self.train_step_num = 0
+        self.train_loss = self.train_acc = None
+        self.train_eta_sec = None
+        self.eval_eer = self.eval_min_dcf = self.eval_threshold = None
+        self.test_log_step = self.train_log_step = 0
+        self.stop_train = self.stop_eval = False
+
+        self._jit_train_step = None
+        self._jit_embed = None
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _loss_name(self):
+        return self.configs.loss_conf.get(
+            "loss", self.configs.loss_conf.get("use_loss", "AAMLoss"))
+
+    def __setup_dataloader(self, is_train=False):
+        self.audio_featurizer = AudioFeaturizer(
+            feature_method=self.configs.preprocess_conf.feature_method,
+            method_args=self.configs.preprocess_conf.get("method_args", {}))
+        dataset_args = dict(self.configs.dataset_conf.get("dataset", {}))
+        sampler_args = dict(self.configs.dataset_conf.get("sampler", {}))
+        loader_args = dict(self.configs.dataset_conf.get("dataLoader", {}))
+        rank, world = local_process_info()
+
+        max_feature_len = self.audio_featurizer.num_frames(
+            int(dataset_args.get("max_duration", 3)
+                * dataset_args.get("sample_rate", 16000)))
+
+        if is_train:
+            self.train_dataset = SpeakerDataset(
+                data_list_path=self.configs.dataset_conf.train_list,
+                aug_conf=self.data_augment_configs,
+                num_speakers=self.configs.model_conf.classifier.num_speakers,
+                mode="train", max_feature_len=max_feature_len,
+                **dataset_args)
+            use_pk = (self.configs.dataset_conf.get("is_use_pksampler", False)
+                      or self._loss_name() == "TripletAngularMarginLoss")
+            if use_pk:
+                sampler = PKSampler(
+                    self.train_dataset,
+                    sample_per_id=self.configs.dataset_conf.get(
+                        "sample_per_id", 4),
+                    num_replicas=world, rank=rank, **sampler_args)
+            else:
+                sampler = BatchSampler(self.train_dataset,
+                                       num_replicas=world, rank=rank,
+                                       **sampler_args)
+            self.train_loader = DataLoader(
+                self.train_dataset, sampler, self._train_collate,
+                num_workers=loader_args.get("num_workers", 4))
+
+        # eval loaders (reference ``trainer.py:113-131``)
+        eval_args = dict(dataset_args)
+        eval_args["max_duration"] = \
+            self.configs.dataset_conf.eval_conf.max_duration
+        eval_bs = self.configs.dataset_conf.eval_conf.batch_size
+        for attr, list_key in (("enroll", "enroll_list"),
+                               ("trials", "trials_list")):
+            list_path = self.configs.dataset_conf.get(list_key)
+            if not list_path or not os.path.exists(list_path):
+                continue
+            ds = SpeakerDataset(data_list_path=list_path, mode="eval",
+                                **eval_args)
+            sampler = BatchSampler(ds, batch_size=eval_bs, shuffle=False,
+                                   drop_last=False)
+            loader = DataLoader(ds, sampler, self._eval_collate,
+                                num_workers=loader_args.get("num_workers", 4))
+            setattr(self, f"{attr}_dataset", ds)
+            setattr(self, f"{attr}_loader", loader)
+
+    def _train_collate(self, items):
+        if items[0][0].ndim == 2:  # precomputed features
+            return ("features",) + collate_features(items, bucket=True)
+        return ("waveforms",) + collate_waveforms(items, bucket=False)
+
+    def _eval_collate(self, items):
+        if items[0][0].ndim == 2:
+            return ("features",) + collate_features(items, bucket=True)
+        return ("waveforms",) + collate_waveforms(items, bucket=True)
+
+    def __setup_model(self, input_size, is_train=False):
+        self.mesh = create_mesh()
+        self.model = build_model(input_size=input_size, configs=self.configs,
+                                 dtype=self.amp_dtype)
+        num_class = self.configs.model_conf.classifier.num_speakers
+        if is_train:
+            speed_conf = self.data_augment_configs.get("speed") or {}
+            if (speed_conf.get("prob", 0) > 0
+                    and speed_conf.get("speed_perturb_3_class", False)):
+                num_class *= 3
+            cls_conf = dict(self.configs.model_conf.classifier)
+            cls_conf["num_speakers"] = num_class
+            self.classifier = SpeakerIdentification(dtype=self.amp_dtype,
+                                                    **cls_conf)
+            self.criterion = build_loss(self.configs)
+            if self.configs.loss_conf.get("use_margin_scheduler", False):
+                ms_args = dict(
+                    increase_start_epoch=int(
+                        self.configs.train_conf.max_epoch * 0.3),
+                    fix_epoch=int(self.configs.train_conf.max_epoch * 0.7),
+                    initial_margin=0.0, final_margin=0.3)
+                ms_args.update(self.configs.loss_conf.get(
+                    "margin_scheduler_args", {}))
+                self.margin_scheduler = MarginScheduler(
+                    criterion=self.criterion,
+                    step_per_epoch=len(self.train_loader), **ms_args)
+            self.lr_schedule = build_lr_scheduler(
+                step_per_epoch=len(self.train_loader), configs=self.configs)
+            self.optimizer = build_optimizer(self.lr_schedule, self.configs)
+
+            dataset_args = self.configs.dataset_conf.get("dataset", {})
+            self.augmenter = DeviceAugmenter(
+                self.data_augment_configs,
+                sample_rate=dataset_args.get("sample_rate", 16000),
+                clip_seconds=dataset_args.get("max_duration", 3),
+                target_db=(dataset_args.get("target_dB", -20)
+                           if dataset_args.get("use_dB_normalization", True)
+                           else None))
+        self._init_state(input_size, is_train)
+
+    def _init_state(self, input_size, is_train):
+        t_probe = self.audio_featurizer.num_frames(
+            int(self.configs.dataset_conf.get("dataset", {})
+                .get("max_duration", 3) * 16000))
+        probe = jnp.zeros((2, max(t_probe, 98), input_size), jnp.float32)
+        rng = jax.random.PRNGKey(1000)  # reference seeds 1000
+
+        def init_fn():
+            variables = self.model.init(rng, probe, train=False)
+            params = {"backbone": variables["params"]}
+            batch_stats = {"backbone": variables.get("batch_stats", {})}
+            loss_params = {}
+            if is_train:
+                emb = jnp.zeros(
+                    (2, getattr(self.model, "embd_dim", 192)), jnp.float32)
+                cvars = self.classifier.init(rng, emb, train=False)
+                params["classifier"] = cvars["params"]
+                batch_stats["classifier"] = cvars.get("batch_stats", {})
+                loss_params = self.criterion.init_params()
+            opt_state = (self.optimizer.init((params, loss_params))
+                         if is_train else ())
+            return TrainState(params=params, batch_stats=batch_stats,
+                              loss_params=loss_params, opt_state=opt_state,
+                              step=jnp.zeros((), jnp.int32))
+
+        # params replicated across the mesh
+        state_sharding = replicated_sharding(self.mesh)
+        self.state = jax.jit(init_fn, out_shardings=state_sharding)()
+        n = _count_params(self.state.params["backbone"])
+        logger.info(f"backbone parameters: {n / 1e6:.2f}M "
+                    f"({self.configs.model_conf.model})")
+
+    # ------------------------------------------------------------------
+    # the hot path
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model, classifier = self.model, self.classifier
+        criterion = self.criterion
+        optimizer = self.optimizer
+        featurize = self.audio_featurizer.featurize
+        augmenter = self.augmenter
+        loss_name = self._loss_name()
+        sub_k = (self.configs.loss_conf.get("loss_args", {}).get("K", 3)
+                 if loss_name == "SubCenterLoss" else 1)
+
+        @partial(jax.jit, donate_argnums=(0,),
+                 static_argnames=("from_waveforms",))
+        def train_step(state, batch_data, lens_ratio, labels, margin, rng,
+                       from_waveforms=True):
+            aug_rng, spec_rng = jax.random.split(jax.random.fold_in(
+                rng, state.step))
+            if from_waveforms:
+                waves = augmenter(batch_data, aug_rng, valid_ratio=lens_ratio)
+                feats = featurize(waves, input_lens_ratio=lens_ratio)
+            else:
+                feats = batch_data
+            feats = augmenter.augment_features(feats, spec_rng)
+
+            def loss_fn(params, loss_params):
+                variables = {"params": params["backbone"],
+                             "batch_stats": state.batch_stats["backbone"]}
+                emb, mut_b = model.apply(variables, feats, train=True,
+                                         mutable=["batch_stats"])
+                cvars = {"params": params["classifier"],
+                         "batch_stats": state.batch_stats["classifier"]}
+                outputs, mut_c = classifier.apply(cvars, emb, train=True,
+                                                  mutable=["batch_stats"])
+                loss = criterion(outputs, labels, margin=margin,
+                                 params=loss_params or None)
+                new_stats = {"backbone": mut_b["batch_stats"],
+                             "classifier": mut_c["batch_stats"]}
+                return loss, (outputs["logits"], new_stats)
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.loss_params)
+            updates, new_opt = optimizer.update(
+                grads, state.opt_state, (state.params, state.loss_params))
+            new_params, new_loss_params = optax.apply_updates(
+                (state.params, state.loss_params), updates)
+
+            if sub_k > 1:
+                logits = jnp.max(
+                    logits.reshape(logits.shape[0], -1, sub_k), axis=2)
+            acc = jnp.mean(
+                (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+            new_state = state.replace(params=new_params,
+                                      batch_stats=new_stats,
+                                      loss_params=new_loss_params,
+                                      opt_state=new_opt,
+                                      step=state.step + 1)
+            return new_state, {"loss": loss, "acc": acc}
+
+        return train_step
+
+    def _build_embed_fn(self):
+        model = self.model
+        featurize = self.audio_featurizer.featurize
+
+        @partial(jax.jit, static_argnames=("from_waveforms",))
+        def embed(state, batch_data, lens_ratio, from_waveforms=True):
+            if from_waveforms:
+                feats = featurize(batch_data, input_lens_ratio=lens_ratio)
+            else:
+                feats = batch_data
+            variables = {"params": state.params["backbone"],
+                         "batch_stats": state.batch_stats["backbone"]}
+            return model.apply(variables, feats, train=False)
+
+        return embed
+
+    # ------------------------------------------------------------------
+    # public API (reference surface)
+    # ------------------------------------------------------------------
+    def train(self, save_model_path="models/", log_dir="log/",
+              resume_model=None, pretrained_model=None, do_eval=True,
+              max_epochs=None):
+        rank, world = local_process_info()
+        writer = None
+        if rank == 0:
+            try:
+                from tensorboardX import SummaryWriter
+                writer = SummaryWriter(logdir=log_dir)
+            except Exception as e:
+                logger.warning(f"tensorboard writer unavailable: {e}")
+
+        self.__setup_dataloader(is_train=True)
+        self.__setup_model(input_size=self.audio_featurizer.feature_dim,
+                           is_train=True)
+        if pretrained_model is not None:
+            merged = load_pretrained(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats,
+                 "loss_params": self.state.loss_params}, pretrained_model)
+            self.state = self.state.replace(
+                params=merged["params"], batch_stats=merged["batch_stats"],
+                loss_params=merged["loss_params"])
+        self.state, last_epoch, best_eer = load_checkpoint(
+            self.configs, self.state, save_model_path, resume_model)
+        if self.margin_scheduler:
+            self.margin_scheduler.step(current_step=int(self.state.step))
+
+        logger.info(f"train data: {len(self.train_dataset)}, "
+                    f"devices: {jax.device_count()} "
+                    f"(processes: {world})")
+        self._jit_train_step = self._build_train_step()
+        base_rng = jax.random.PRNGKey(1000 + rank)
+
+        max_epoch = max_epochs or self.configs.train_conf.max_epoch
+        self.max_step = len(self.train_loader) * max_epoch
+        self.train_step_num = int(self.state.step)
+        self.test_log_step = self.train_log_step = 0
+        data_sharding = batch_sharding(self.mesh)
+
+        for epoch_id in range(last_epoch, max_epoch):
+            if self.stop_train:
+                break
+            epoch_id += 1
+            start_epoch = time.time()
+            self.__train_epoch(epoch_id, max_epoch, writer, rank,
+                               base_rng, data_sharding, save_model_path)
+            if rank == 0 and do_eval and not self.stop_eval:
+                logger.info("=" * 70)
+                self.eval_eer, self.eval_min_dcf, self.eval_threshold = \
+                    self.evaluate()
+                logger.info(
+                    f"Test epoch: {epoch_id}, time/epoch: "
+                    f"{timedelta(seconds=int(time.time() - start_epoch))}, "
+                    f"threshold: {self.eval_threshold:.2f}, "
+                    f"EER: {self.eval_eer:.5f}, "
+                    f"MinDCF: {self.eval_min_dcf:.5f}")
+                logger.info("=" * 70)
+                if writer is not None:
+                    writer.add_scalar("Test/threshold", self.eval_threshold,
+                                      self.test_log_step)
+                    writer.add_scalar("Test/min_dcf", self.eval_min_dcf,
+                                      self.test_log_step)
+                    writer.add_scalar("Test/eer", self.eval_eer,
+                                      self.test_log_step)
+                self.test_log_step += 1
+                if self.eval_eer <= best_eer:
+                    best_eer = self.eval_eer
+                    save_checkpoint(self.configs, self.state, save_model_path,
+                                    epoch_id, eer=self.eval_eer,
+                                    min_dcf=self.eval_min_dcf,
+                                    threshold=self.eval_threshold,
+                                    margin=self._margin(), best_model=True)
+            if rank == 0:
+                save_checkpoint(self.configs, self.state, save_model_path,
+                                epoch_id, eer=self.eval_eer,
+                                min_dcf=self.eval_min_dcf,
+                                threshold=self.eval_threshold,
+                                margin=self._margin())
+
+    def _margin(self):
+        return (self.margin_scheduler.get_margin()
+                if self.margin_scheduler else
+                self.configs.loss_conf.get("loss_args", {}).get("margin", 0.2))
+
+    def __train_epoch(self, epoch_id, max_epoch, writer, rank, base_rng,
+                      data_sharding, save_model_path):
+        batch_size = self.configs.dataset_conf.sampler.batch_size
+        log_interval = self.configs.train_conf.log_interval
+        last_log_time = time.time()
+        last_log_batch = 0
+        world_bs = batch_size  # sampler batch is per-process
+        for batch_id, (kind, data, labels, lens) in enumerate(
+                self.train_loader):
+            if self.stop_train:
+                break
+            if self.margin_scheduler:
+                self.margin_scheduler.step(current_step=self.train_step_num)
+            margin = np.float32(self._margin())
+            data, labels, lens = shard_batch((data, labels, lens), self.mesh)
+            # async dispatch: no host sync except at log points
+            self.state, metrics = self._jit_train_step(
+                self.state, data, lens, labels, margin, base_rng,
+                from_waveforms=(kind == "waveforms"))
+            self.train_step_num += 1
+
+            if rank == 0 and batch_id % log_interval == 0:
+                metrics = jax.device_get(metrics)  # sync point
+                now = time.time()
+                n_batches = max(batch_id - last_log_batch, 1)
+                step_sec = (now - last_log_time) / n_batches
+                last_log_time, last_log_batch = now, batch_id
+                train_speed = world_bs / step_sec
+                self.train_eta_sec = step_sec * (self.max_step
+                                                 - self.train_step_num)
+                eta = timedelta(seconds=int(self.train_eta_sec))
+                self.train_loss = float(metrics["loss"])
+                self.train_acc = float(metrics["acc"])
+                lr = float(self.lr_schedule(self.train_step_num))
+                margin_str = (f"margin: {self._margin():.5f}"
+                              if self.margin_scheduler else "")
+                logger.info(
+                    f"Train epoch: [{epoch_id}/{max_epoch}], "
+                    f"batch: [{batch_id}/{len(self.train_loader)}], "
+                    f"loss: {self.train_loss:.5f}, "
+                    f"accuracy: {self.train_acc:.5f}, "
+                    f"learning rate: {lr:.8f}, {margin_str} "
+                    f"speed: {train_speed:.2f} data/sec, eta: {eta}")
+                if writer is not None:
+                    writer.add_scalar("Train/Loss", self.train_loss,
+                                      self.train_log_step)
+                    writer.add_scalar("Train/Accuracy", self.train_acc,
+                                      self.train_log_step)
+                    writer.add_scalar("Train/lr", lr, self.train_log_step)
+                    if self.margin_scheduler:
+                        writer.add_scalar("Train/margin", self._margin(),
+                                          self.train_log_step)
+                self.train_log_step += 1
+            if batch_id % 10000 == 0 and batch_id != 0 and rank == 0:
+                save_checkpoint(self.configs, self.state, save_model_path,
+                                epoch_id, margin=self._margin())
+
+    # ------------------------------------------------------------------
+    def _embed_loader(self, loader, desc):
+        if self._jit_embed is None:
+            self._jit_embed = self._build_embed_fn()
+        feats, labels = [], []
+        for kind, data, y, lens in loader:
+            if self.stop_eval:
+                break
+            emb = self._jit_embed(self.state, jnp.asarray(data),
+                                  jnp.asarray(lens),
+                                  from_waveforms=(kind == "waveforms"))
+            feats.append(np.asarray(emb))
+            labels.append(np.asarray(y))
+        return np.concatenate(feats), np.concatenate(labels).astype(np.int32)
+
+    def evaluate(self, resume_model=None, save_image_path=None):
+        """Returns (eer, min_dcf, threshold) — reference
+        ``trainer.py:367-447`` semantics with on-chip cosine scoring."""
+        if self.enroll_loader is None or self.trials_loader is None:
+            self.__setup_dataloader()
+        if self.model is None:
+            self.__setup_model(input_size=self.audio_featurizer.feature_dim)
+        if resume_model is not None:
+            merged = load_pretrained(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats,
+                 "loss_params": self.state.loss_params}, resume_model)
+            self.state = self.state.replace(
+                params=merged["params"], batch_stats=merged["batch_stats"])
+
+        enroll_features, enroll_labels = self._embed_loader(
+            self.enroll_loader, "enroll")
+        trials_features, trials_labels = self._embed_loader(
+            self.trials_loader, "trials")
+        if self.stop_eval:
+            return -1, -1, -1
+
+        # single on-chip matmul replaces the reference's per-trial loop
+        scores, match = self._score_all(trials_features, enroll_features,
+                                        trials_labels, enroll_labels)
+        fnr, fpr, thresholds = compute_fnr_fpr(scores, match)
+        eer, threshold = compute_eer(fnr, fpr, scores)
+        min_dcf = compute_dcf(fnr, fpr)
+        eer, min_dcf, threshold = float(eer), float(min_dcf), float(threshold)
+
+        if save_image_path:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            index = int(np.argmin(np.abs(thresholds - threshold)))
+            plt.figure()
+            plt.plot(thresholds, fnr, color="blue", linestyle="-", label="fnr")
+            plt.plot(thresholds, fpr, color="red", linestyle="-", label="fpr")
+            plt.plot(threshold, fpr[index], "ro-")
+            plt.text(threshold, fpr[index],
+                     (round(threshold, 3), round(float(fpr[index]), 5)),
+                     color="red")
+            plt.xlabel("threshold")
+            plt.title("fnr and fpr")
+            plt.grid(True)
+            os.makedirs(save_image_path, exist_ok=True)
+            out = os.path.join(save_image_path, "result.png")
+            plt.savefig(out)
+            logger.info(f"result plot saved to: {out}")
+        return eer, min_dcf, threshold
+
+    @staticmethod
+    def _score_all(trials, enrolls, trials_labels, enroll_labels):
+        """All-pairs cosine scores + same-speaker labels, flattened
+        trial-major like the reference loop (``trainer.py:416-423``)."""
+        t = jnp.asarray(trials)
+        e = jnp.asarray(enrolls)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), 1e-12)
+        e = e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        scores = np.asarray(jnp.matmul(t, e.T)).reshape(-1).astype(np.float32)
+        match = (trials_labels[:, None]
+                 == enroll_labels[None, :]).reshape(-1).astype(np.int32)
+        return scores, match
+
+    # ------------------------------------------------------------------
+    def extract_features(self, save_dir="dataset/features", max_duration=100):
+        """Write per-utterance ``.npy`` features + ``*_features.txt`` lists
+        (reference ``trainer.py:134-157``)."""
+        self.audio_featurizer = AudioFeaturizer(
+            feature_method=self.configs.preprocess_conf.feature_method,
+            method_args=self.configs.preprocess_conf.get("method_args", {}))
+        for data_list in [self.configs.dataset_conf.train_list,
+                          self.configs.dataset_conf.enroll_list,
+                          self.configs.dataset_conf.trials_list]:
+            if not data_list or not os.path.exists(data_list):
+                continue
+            dataset_args = dict(self.configs.dataset_conf.get("dataset", {}))
+            dataset_args["max_duration"] = max_duration
+            ds = SpeakerDataset(data_list_path=data_list,
+                                mode="extract_feature", **dataset_args)
+            save_list = data_list.replace(".txt", "_features.txt")
+            counter = 0
+            with open(save_list, "w", encoding="utf-8") as f:
+                for i in range(len(ds)):
+                    samples, label, valid = ds[i]
+                    n_frames = self.audio_featurizer.num_frames(valid)
+                    # pad to a bucket for compile reuse, trim exactly
+                    from .data_utils.collate import bucket_length
+                    pad_len = bucket_length(len(samples))
+                    padded = np.zeros((1, pad_len), np.float32)
+                    padded[0, :len(samples)] = samples
+                    ratio = np.asarray([len(samples) / pad_len], np.float32)
+                    feat = np.asarray(
+                        self.audio_featurizer(padded, ratio))[0, :n_frames]
+                    save_path = os.path.join(
+                        save_dir, str(label),
+                        f"{int(time.time() * 1000)}_{counter}.npy")
+                    counter += 1
+                    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+                    np.save(save_path, feat)
+                    f.write(f"{save_path}\t{label}\n")
+            logger.info(f"features extracted for {data_list} -> {save_list}")
+
+    def export(self, save_model_path="models/",
+               resume_model="models/CAMPPlus_Fbank/best_model/"):
+        """Save a backbone-only inference bundle (reference
+        ``trainer.py:449-474``'s static-graph export equivalent: params +
+        the config needed to rebuild the jitted forward)."""
+        self.audio_featurizer = AudioFeaturizer(
+            feature_method=self.configs.preprocess_conf.feature_method,
+            method_args=self.configs.preprocess_conf.get("method_args", {}))
+        self.__setup_model(input_size=self.audio_featurizer.feature_dim)
+        self.state, _, _ = load_checkpoint(self.configs, self.state,
+                                           save_model_path, resume_model)
+        infer_dir = os.path.join(
+            save_model_path,
+            f"{self.configs.model_conf.model}_"
+            f"{self.configs.preprocess_conf.feature_method}", "infer")
+        os.makedirs(infer_dir, exist_ok=True)
+        save_msgpack(jax.device_get(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats,
+             "loss_params": {}}),
+            os.path.join(infer_dir, "model.msgpack"))
+        import json
+        with open(os.path.join(infer_dir, "inference.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"model": self.configs.model_conf.model,
+                       "feature_method":
+                           self.configs.preprocess_conf.feature_method},
+                      f, indent=2)
+        logger.info(f"inference model saved: {infer_dir}")
+        return infer_dir

@@ -1,0 +1,175 @@
+"""Checkpoint save / resume / pretrained-load.
+
+Directory/JSON-state semantics of reference ``ppvector/utils/checkpoint.py``:
+``models/<Model>_<Feature>/{epoch_N, last_model, best_model}``, a
+``model.state`` JSON ({last_epoch, version, model, feature_method, loss,
+eer/min_dcf/threshold, margin}), ``epoch_{N-3}`` pruning, best-model copy
+on EER improvement, and shape-filtered partial loading of pretrained
+weights with warnings.
+
+Serialization is flax msgpack of the full train state. Unlike the
+reference — which replays ``scheduler.step()`` epoch×steps times on resume
+— the step counter is part of the state and the closed-form schedules need
+no replay.
+"""
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+from flax import serialization
+from flax.core import freeze, unfreeze
+
+from .. import __version__
+from .logger import logger
+
+__all__ = ["save_checkpoint", "load_checkpoint", "load_pretrained",
+           "save_msgpack", "load_msgpack"]
+
+
+def _ckpt_dir(configs, save_model_path, tag):
+    name = (f"{configs.model_conf.model}_"
+            f"{configs.preprocess_conf.feature_method}")
+    return os.path.join(save_model_path, name, tag)
+
+
+def save_msgpack(tree, path):
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def load_msgpack(target, path):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
+                    min_dcf=None, threshold=None, margin=None,
+                    best_model=False):
+    """``state`` is the trainer's TrainState pytree."""
+    tag = "best_model" if best_model else f"epoch_{epoch_id}"
+    model_path = _ckpt_dir(configs, save_model_path, tag)
+    if os.path.exists(model_path):
+        shutil.rmtree(model_path)
+    os.makedirs(model_path, exist_ok=True)
+
+    model_tree = {"params": state.params, "batch_stats": state.batch_stats,
+                  "loss_params": state.loss_params}
+    save_msgpack(jax.device_get(model_tree),
+                 os.path.join(model_path, "model.msgpack"))
+    save_msgpack(jax.device_get({"opt_state": state.opt_state,
+                                 "step": state.step}),
+                 os.path.join(model_path, "optimizer.msgpack"))
+
+    data = {"last_epoch": int(epoch_id), "version": __version__,
+            "model": configs.model_conf.model,
+            "feature_method": configs.preprocess_conf.feature_method,
+            "loss": configs.loss_conf.get(
+                "loss", configs.loss_conf.get("use_loss", "AAMLoss"))}
+    if eer is not None:
+        data.update(threshold=threshold, eer=eer, min_dcf=min_dcf)
+    if margin is not None:
+        data["margin"] = float(margin)
+    with open(os.path.join(model_path, "model.state"), "w",
+              encoding="utf-8") as f:
+        json.dump(data, f, indent=4, ensure_ascii=False)
+
+    if not best_model:
+        last_path = _ckpt_dir(configs, save_model_path, "last_model")
+        shutil.rmtree(last_path, ignore_errors=True)
+        shutil.copytree(model_path, last_path)
+        old = _ckpt_dir(configs, save_model_path, f"epoch_{epoch_id - 3}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    logger.info(f"checkpoint saved: {model_path}")
+    return model_path
+
+
+def load_checkpoint(configs, state, save_model_path, resume_model=None):
+    """Auto-resume from ``last_model`` (or an explicit path). Returns
+    (state, last_epoch, best_eer)."""
+    last_epoch, best_eer = 0, 1.0
+    model_path = resume_model or _ckpt_dir(configs, save_model_path,
+                                           "last_model")
+    model_file = os.path.join(model_path, "model.msgpack")
+    opt_file = os.path.join(model_path, "optimizer.msgpack")
+    if not (os.path.exists(model_file) and os.path.exists(opt_file)):
+        if resume_model is not None:
+            raise FileNotFoundError(f"checkpoint not found: {model_path}")
+        return state, last_epoch, best_eer
+    try:
+        model_tree = load_msgpack(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "loss_params": state.loss_params}, model_file)
+        opt_tree = load_msgpack(
+            {"opt_state": state.opt_state, "step": state.step}, opt_file)
+        state = state.replace(params=model_tree["params"],
+                              batch_stats=model_tree["batch_stats"],
+                              loss_params=model_tree["loss_params"],
+                              opt_state=opt_tree["opt_state"],
+                              step=int(opt_tree["step"]))
+        state_file = os.path.join(model_path, "model.state")
+        if os.path.exists(state_file):
+            with open(state_file, "r", encoding="utf-8") as f:
+                j = json.load(f)
+            last_epoch = j.get("last_epoch", 0)
+            best_eer = j.get("eer") or 1.0
+        logger.info(f"resumed model + optimizer state: {model_path}")
+    except Exception as e:
+        if resume_model is not None:
+            raise
+        logger.warning(f"auto-resume from latest model failed: {e}")
+    return state, last_epoch, best_eer
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def load_pretrained(variables, pretrained_model):
+    """Shape-filtered partial load (reference ``checkpoint.py``
+    load_pretrained): keys missing or shape-mismatched are skipped with a
+    warning; returns the merged variables dict."""
+    if pretrained_model is None:
+        return variables
+    if os.path.isdir(pretrained_model):
+        pretrained_model = os.path.join(pretrained_model, "model.msgpack")
+    assert os.path.exists(pretrained_model), \
+        f"{pretrained_model} does not exist!"
+    with open(pretrained_model, "rb") as f:
+        loaded = serialization.msgpack_restore(f.read())
+
+    variables = unfreeze(variables)
+    flat_model = _flatten(variables)
+    flat_loaded = _flatten(loaded)
+    # the checkpoint nests {params, batch_stats, loss_params}; the target
+    # may be the same nesting or a bare collection dict — align by suffix
+    merged = 0
+    for key, value in flat_model.items():
+        candidates = [k for k in flat_loaded
+                      if k == key or k[-len(key):] == key]
+        if not candidates:
+            logger.warning(f"Lack weight: {'/'.join(key)}")
+            continue
+        lv = flat_loaded[candidates[0]]
+        if tuple(np.shape(lv)) != tuple(np.shape(value)):
+            logger.warning(
+                f"{'/'.join(key)} not used, shape {list(np.shape(lv))} "
+                f"unmatched with {list(np.shape(value))} in model.")
+            continue
+        node = variables
+        for k in key[:-1]:
+            node = node[k]
+        node[key[-1]] = np.asarray(lv, dtype=np.asarray(value).dtype)
+        merged += 1
+    logger.info(f"loaded pretrained model ({merged} tensors): "
+                f"{pretrained_model}")
+    return variables
