@@ -1,0 +1,145 @@
+"""Predictor API surface: predict/contrast/register/recognition/
+remove_user/diarization against a tiny freshly-trained checkpoint."""
+
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from voiceprintrecognition_paddlepaddle_tpu.predict import Predictor
+from voiceprintrecognition_paddlepaddle_tpu.trainer import Trainer
+
+SR = 16000
+
+
+def _tone(f0, seconds, seed=0, amp=0.3):
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    sig = sum(np.sin(2 * np.pi * f0 * h * t + rng.rand()) / h
+              for h in range(1, 5))
+    return (amp * (sig + 0.05 * rng.randn(len(t)))).astype(np.float32)
+
+
+def _write_wav(path, samples):
+    with wave_mod.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+def _configs(root):
+    return {
+        "dataset_conf": {
+            "dataset": {"min_duration": 0.3, "max_duration": 1.0,
+                        "sample_rate": SR, "use_dB_normalization": True,
+                        "target_dB": -20},
+            "sampler": {"batch_size": 8, "shuffle": True, "drop_last": True},
+            "dataLoader": {"num_workers": 2},
+            "eval_conf": {"batch_size": 4, "max_duration": 2},
+            "train_list": str(root / "train_list.txt"),
+            "enroll_list": None, "trials_list": None,
+        },
+        "preprocess_conf": {"feature_method": "Fbank",
+                            "method_args": {"sr": SR, "n_mels": 40}},
+        "model_conf": {"model": "TDNN",
+                       "model_args": {"embd_dim": 32, "channels": 32,
+                                      "pooling_type": "TSP"},
+                       "classifier": {"classifier_type": "Cosine",
+                                      "num_speakers": 4, "num_blocks": 0}},
+        "loss_conf": {"loss": "AAMLoss",
+                      "loss_args": {"margin": 0.2, "scale": 32}},
+        "optimizer_conf": {"optimizer": "Adam", "optimizer_args": {},
+                           "scheduler": "WarmupCosineSchedulerLR",
+                           "scheduler_args": {"learning_rate": 0.01,
+                                              "min_lr": 1.0e-5,
+                                              "warmup_epoch": 1}},
+        "train_conf": {"enable_amp": False, "max_epoch": 1,
+                       "log_interval": 10},
+    }
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pred")
+    lines = []
+    for spk in range(4):
+        for u in range(4):
+            p = root / f"s{spk}_u{u}.wav"
+            _write_wav(p, _tone(130 + 80 * spk, 1.2, seed=spk * 10 + u))
+            lines.append(f"{p}\t{spk}")
+    (root / "train_list.txt").write_text("\n".join(lines) + "\n",
+                                         encoding="utf-8")
+    cfg = _configs(root)
+    trainer = Trainer(configs=cfg)
+    trainer.train(save_model_path=str(root / "models"),
+                  log_dir=str(root / "log"), do_eval=False)
+    model_path = str(root / "models" / "TDNN_Fbank" / "last_model")
+    return root, cfg, model_path
+
+
+def test_predict_and_contrast(env):
+    root, cfg, model_path = env
+    pred = Predictor(configs=cfg, model_path=model_path)
+    emb = pred.predict(str(root / "s0_u0.wav"))
+    assert emb.shape == (32,)
+    # same file contrast = 1
+    assert abs(pred.contrast(str(root / "s0_u0.wav"),
+                             str(root / "s0_u0.wav")) - 1.0) < 1e-5
+    score = pred.contrast(str(root / "s0_u0.wav"), str(root / "s3_u0.wav"))
+    assert -1.0 - 1e-5 <= score <= 1.0 + 1e-5
+
+
+def test_predict_batch_matches_single(env):
+    root, cfg, model_path = env
+    pred = Predictor(configs=cfg, model_path=model_path)
+    paths = [str(root / "s0_u0.wav"), str(root / "s1_u0.wav")]
+    batch = pred.predict_batch(paths)
+    singles = np.stack([pred.predict(p) for p in paths])
+    assert batch.shape == (2, 32)
+    # same bucketed length -> identical; allow small numeric slack
+    cos = (batch * singles).sum(1) / (
+        np.linalg.norm(batch, axis=1) * np.linalg.norm(singles, axis=1))
+    assert (cos > 0.999).all()
+
+
+def test_audio_db_register_recognition_remove(env, tmp_path):
+    root, cfg, model_path = env
+    db = str(tmp_path / "audio_db")
+    pred = Predictor(configs=cfg, model_path=model_path, audio_db_path=db,
+                     threshold=0.1)
+    ok, _ = pred.register(str(root / "s0_u0.wav"), "alice")
+    assert ok
+    pred.register(str(root / "s1_u0.wav"), "bob")
+    assert sorted(set(pred.get_users())) == ["alice", "bob"]
+    name, score = pred.recognition(str(root / "s0_u1.wav"))
+    assert name in ("alice", "bob")
+    assert os.path.exists(os.path.join(db, "audio_indexes.bin"))
+
+    # a fresh predictor reloads the persisted database
+    pred2 = Predictor(configs=cfg, model_path=model_path, audio_db_path=db,
+                      threshold=0.1)
+    assert sorted(set(pred2.get_users())) == ["alice", "bob"]
+
+    assert pred2.remove_user("alice")
+    assert not pred2.remove_user("alice")
+    assert sorted(set(pred2.get_users())) == ["bob"]
+
+
+def test_speaker_diarization(env):
+    root, cfg, model_path = env
+    pred = Predictor(configs=cfg, model_path=model_path)
+    # 12s: speaker A (150 Hz) 0-5s, silence 5-6s, speaker B (330 Hz) 6-12s
+    a = _tone(150, 5.0, seed=1)
+    sil = np.zeros(int(1.0 * SR), np.float32)
+    b = _tone(330, 6.0, seed=2)
+    audio = np.concatenate([a, sil, b])
+    out = pred.speaker_diarization(audio, sample_rate=SR)
+    assert len(out) >= 1
+    for seg in out:
+        assert set(seg) == {"speaker", "start", "end"}
+        assert seg["end"] > seg["start"]
+    # oracle speaker count path
+    out2 = pred.speaker_diarization(audio, sample_rate=SR, speaker_num=2)
+    assert len({s["speaker"] for s in out2}) <= 2

@@ -216,7 +216,12 @@ class AudioSegment:
         frames = self._samples[:n_frames * frame_len].reshape(n_frames, frame_len)
         energy = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
         floor = np.percentile(energy, 10)
-        speech = energy > floor + energy_offset_db
+        # speech-dominated audio can push the percentile floor up to the
+        # speech level; cap the threshold at peak-12 dB, and require an
+        # absolute minimum so silence never counts as speech
+        threshold = min(floor + energy_offset_db, energy.max() - 12.0)
+        threshold = max(threshold, -55.0)
+        speech = energy > threshold
         if not speech.any():
             return []
 
