@@ -1,0 +1,27 @@
+"""Fused Pallas fbank kernel vs the jnp reference path (interpret mode on
+CPU; the same kernel compiles for the TPU in bench.py)."""
+
+import numpy as np
+import pytest
+
+from voiceprintrecognition_paddlepaddle_tpu.ops import kaldi
+from voiceprintrecognition_paddlepaddle_tpu.ops.pallas_fbank import fbank_pallas
+
+
+def test_matches_jnp_fbank():
+    rng = np.random.RandomState(0)
+    waves = (rng.randn(3, 16000) * 0.1).astype(np.float32)
+    ref = np.asarray(kaldi.fbank(waves, sr=16000, n_mels=80))
+    got = np.asarray(fbank_pallas(waves, sr=16000, n_mels=80, interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 2e-3
+
+
+def test_row_padding_path():
+    # rows = B*T deliberately not a multiple of the 256-row tile
+    rng = np.random.RandomState(1)
+    waves = (rng.randn(1, 8000) * 0.1).astype(np.float32)  # 48 frames
+    ref = np.asarray(kaldi.fbank(waves, sr=16000, n_mels=40))
+    got = np.asarray(fbank_pallas(waves, sr=16000, n_mels=40, interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 2e-3

@@ -1,0 +1,5 @@
+from .audio_native import (decode_wav_native, native_available,
+                           resample_native, rms_db_native)
+
+__all__ = ["decode_wav_native", "resample_native", "rms_db_native",
+           "native_available"]

@@ -1,0 +1,129 @@
+"""ctypes bindings for the C++ audio I/O library (``audioio.cpp``).
+
+The shared library is built lazily with g++ on first use and cached next
+to the source; every entry point has a pure-Python fallback in
+``ops.audio``, so the package works even without a compiler. Set
+``VPR_TPU_NO_NATIVE=1`` to force the Python path.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..utils.logger import logger
+
+__all__ = ["native_available", "decode_wav_native", "resample_native",
+           "rms_db_native"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "audioio.cpp")
+_LIB_PATH = os.path.join(_HERE, "libaudioio.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+           "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        logger.warning(f"native audioio build failed ({e}); "
+                       f"using the Python decode path")
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("VPR_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            logger.warning(f"native audioio load failed: {e}")
+            return None
+        lib.vpr_decode_wav.restype = ctypes.c_int
+        lib.vpr_decode_wav.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.vpr_resample.restype = ctypes.c_int
+        lib.vpr_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.vpr_rms_db.restype = ctypes.c_double
+        lib.vpr_rms_db.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int64]
+        lib.vpr_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available():
+    return _load() is not None
+
+
+def _take(ptr, n):
+    """Copy a malloc'd float buffer into numpy and free it."""
+    lib = _lib
+    arr = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+    lib.vpr_free(ptr)
+    return arr
+
+
+def decode_wav_native(data: bytes):
+    """bytes → (float32 mono samples, sample_rate) or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = lib.vpr_decode_wav(data, len(data), ctypes.byref(out),
+                            ctypes.byref(n), ctypes.byref(sr))
+    if rc != 0:
+        return None
+    return _take(out, n.value), int(sr.value)
+
+
+def resample_native(samples, sr_in: int, sr_out: int):
+    """float32 array → resampled float32 array, or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_float)()
+    n_out = ctypes.c_int64()
+    rc = lib.vpr_resample(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        samples.shape[0], sr_in, sr_out, ctypes.byref(out),
+        ctypes.byref(n_out))
+    if rc != 0:
+        return None
+    return _take(out, n_out.value)
+
+
+def rms_db_native(samples):
+    lib = _load()
+    if lib is None:
+        return None
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    return float(lib.vpr_rms_db(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        samples.shape[0]))

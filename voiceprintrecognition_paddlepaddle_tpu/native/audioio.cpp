@@ -1,0 +1,251 @@
+// Native audio I/O hot path for the data loader.
+//
+// The reference leans on libsndfile + resampy through yeaudio for decode /
+// resample (SURVEY.md §2, reference requirements.txt). This library is the
+// C++ equivalent for the host side of the TPU pipeline: RIFF/WAVE decode
+// (PCM 8/16/24/32, IEEE float32/64, any channel count -> mono float32),
+// a windowed-sinc polyphase resampler, and RMS gain — the per-sample work
+// the CPU does while the TPU runs the jitted step. Exposed as a C ABI for
+// ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC audioio.cpp -o libaudioio.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// memory management: buffers returned to Python are freed with vpr_free
+// ---------------------------------------------------------------------
+void vpr_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------------
+// WAV decode
+// ---------------------------------------------------------------------
+static inline uint32_t rd_u32(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+           ((uint32_t)p[3] << 24);
+}
+static inline uint16_t rd_u16(const uint8_t* p) {
+    return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+}
+
+// Returns 0 on success. *out is malloc'd mono float32 of *n_samples.
+int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
+                   int64_t* n_samples, int32_t* sample_rate) {
+    *out = nullptr;
+    *n_samples = 0;
+    *sample_rate = 0;
+    if (size < 44 || std::memcmp(data, "RIFF", 4) != 0 ||
+        std::memcmp(data + 8, "WAVE", 4) != 0)
+        return 1;
+
+    uint16_t fmt_code = 0, channels = 0, bits = 0;
+    uint32_t rate = 0;
+    const uint8_t* body = nullptr;
+    uint32_t body_size = 0;
+
+    int64_t pos = 12;
+    while (pos + 8 <= size) {
+        const uint8_t* cid = data + pos;
+        uint32_t csize = rd_u32(data + pos + 4);
+        const uint8_t* cbody = data + pos + 8;
+        if ((int64_t)(pos + 8 + csize) > size) csize = (uint32_t)(size - pos - 8);
+        if (std::memcmp(cid, "fmt ", 4) == 0 && csize >= 16) {
+            fmt_code = rd_u16(cbody);
+            channels = rd_u16(cbody + 2);
+            rate = rd_u32(cbody + 4);
+            bits = rd_u16(cbody + 14);
+            if (fmt_code == 0xFFFE && csize >= 40)  // WAVE_FORMAT_EXTENSIBLE
+                fmt_code = rd_u16(cbody + 24);
+        } else if (std::memcmp(cid, "data", 4) == 0) {
+            body = cbody;
+            body_size = csize;
+        }
+        pos += 8 + csize + (csize & 1);
+    }
+    if (!body || channels == 0 || rate == 0) return 2;
+
+    int64_t frames;
+    const double inv_ch = 1.0 / channels;
+    float* mono = nullptr;
+
+    if (fmt_code == 1 && bits == 16) {
+        frames = body_size / (2 * channels);
+        mono = (float*)std::malloc(sizeof(float) * frames);
+        const int16_t* s = (const int16_t*)body;
+        for (int64_t i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+            mono[i] = (float)(acc * inv_ch / 32768.0);
+        }
+    } else if (fmt_code == 1 && bits == 32) {
+        frames = body_size / (4 * channels);
+        mono = (float*)std::malloc(sizeof(float) * frames);
+        const int32_t* s = (const int32_t*)body;
+        for (int64_t i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+            mono[i] = (float)(acc * inv_ch / 2147483648.0);
+        }
+    } else if (fmt_code == 1 && bits == 24) {
+        frames = body_size / (3 * channels);
+        mono = (float*)std::malloc(sizeof(float) * frames);
+        for (int64_t i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) {
+                const uint8_t* b = body + 3 * (i * channels + c);
+                int32_t v = (int32_t)b[0] | ((int32_t)b[1] << 8) |
+                            ((int32_t)b[2] << 16);
+                if (v >= (1 << 23)) v -= (1 << 24);
+                acc += v;
+            }
+            mono[i] = (float)(acc * inv_ch / 8388608.0);
+        }
+    } else if (fmt_code == 1 && bits == 8) {
+        frames = body_size / channels;
+        mono = (float*)std::malloc(sizeof(float) * frames);
+        for (int64_t i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c)
+                acc += (double)body[i * channels + c] - 128.0;
+            mono[i] = (float)(acc * inv_ch / 128.0);
+        }
+    } else if (fmt_code == 3 && bits == 32) {
+        frames = body_size / (4 * channels);
+        mono = (float*)std::malloc(sizeof(float) * frames);
+        const float* s = (const float*)body;
+        for (int64_t i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+            mono[i] = (float)(acc * inv_ch);
+        }
+    } else if (fmt_code == 3 && bits == 64) {
+        frames = body_size / (8 * channels);
+        mono = (float*)std::malloc(sizeof(float) * frames);
+        const double* s = (const double*)body;
+        for (int64_t i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+            mono[i] = (float)(acc * inv_ch);
+        }
+    } else {
+        return 3;  // unsupported encoding
+    }
+
+    *out = mono;
+    *n_samples = frames;
+    *sample_rate = (int32_t)rate;
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// polyphase windowed-sinc resampler (Kaiser window)
+// ---------------------------------------------------------------------
+static double bessel_i0(double x) {
+    // series expansion, converges fast for the beta range used here
+    double sum = 1.0, term = 1.0;
+    const double x2 = x * x / 4.0;
+    for (int k = 1; k < 64; ++k) {
+        term *= x2 / (k * (double)k);
+        sum += term;
+        if (term < 1e-16 * sum) break;
+    }
+    return sum;
+}
+
+static int64_t gcd64(int64_t a, int64_t b) {
+    while (b) { int64_t t = a % b; a = b; b = t; }
+    return a;
+}
+
+// Resample n samples from sr_in to sr_out. *out malloc'd, length *n_out.
+int vpr_resample(const float* in, int64_t n, int32_t sr_in, int32_t sr_out,
+                 float** out, int64_t* n_out) {
+    *out = nullptr;
+    *n_out = 0;
+    if (n <= 0 || sr_in <= 0 || sr_out <= 0) return 1;
+    if (sr_in == sr_out) {
+        *out = (float*)std::malloc(sizeof(float) * n);
+        std::memcpy(*out, in, sizeof(float) * n);
+        *n_out = n;
+        return 0;
+    }
+    const int64_t g = gcd64(sr_in, sr_out);
+    const int64_t up = sr_out / g, down = sr_in / g;
+
+    // Windowed-sinc interpolation evaluated directly: output sample j sits
+    // at input time T = j*down/up = i_center + phase/up, and
+    //   y[j] = sum_t  f(phase/up + half-1-t) * in[i_center - half+1 + t]
+    // where f is the Kaiser-windowed sinc (cutoff at the narrower Nyquist).
+    // Each phase's taps are normalised to sum 1 (unity passband gain).
+    const int half_taps = 16;
+    const double cutoff = 0.5 * std::min<double>(1.0, (double)up / down);
+    const double beta = 8.6;  // ~ resampy/scipy "kaiser_best" quality class
+    const int64_t taps_per_phase = 2 * half_taps;
+    std::vector<float> filt((size_t)(up * taps_per_phase));
+    const double i0b = bessel_i0(beta);
+    for (int64_t p = 0; p < up; ++p) {
+        double sum = 0.0;
+        for (int64_t t = 0; t < taps_per_phase; ++t) {
+            const double x = (double)p / up + (half_taps - 1 - t);
+            const double sinc = (x == 0.0)
+                ? 2.0 * cutoff
+                : std::sin(2.0 * M_PI * cutoff * x) / (M_PI * x);
+            const double w_arg = x / half_taps;
+            double w = 0.0;
+            if (std::fabs(w_arg) <= 1.0)
+                w = bessel_i0(beta * std::sqrt(1.0 - w_arg * w_arg)) / i0b;
+            filt[(size_t)(p * taps_per_phase + t)] = (float)(sinc * w);
+            sum += sinc * w;
+        }
+        if (sum != 0.0) {
+            const float inv = (float)(1.0 / sum);
+            for (int64_t t = 0; t < taps_per_phase; ++t)
+                filt[(size_t)(p * taps_per_phase + t)] *= inv;
+        }
+    }
+
+    const int64_t m = (n * up) / down;  // output length (floor)
+    float* res = (float*)std::malloc(sizeof(float) * (m > 0 ? m : 1));
+    for (int64_t j = 0; j < m; ++j) {
+        const int64_t num = j * down;
+        const int64_t i_center = num / up;
+        const int64_t phase = num % up;
+        const float* h = &filt[(size_t)(phase * taps_per_phase)];
+        double acc = 0.0;
+        const int64_t base = i_center - half_taps + 1;
+        for (int64_t t = 0; t < taps_per_phase; ++t) {
+            const int64_t idx = base + t;
+            if (idx >= 0 && idx < n) acc += (double)h[t] * in[idx];
+        }
+        res[j] = (float)acc;
+    }
+    *out = res;
+    *n_out = m;
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// gain / RMS utilities for dB-normalisation on the host path
+// ---------------------------------------------------------------------
+double vpr_rms_db(const float* in, int64_t n) {
+    if (n <= 0) return -100.0;
+    double acc = 0.0;
+    for (int64_t i = 0; i < n; ++i) acc += (double)in[i] * in[i];
+    const double mean_sq = acc / n;
+    if (mean_sq <= 1e-30) return -100.0;
+    return 10.0 * std::log10(mean_sq);
+}
+
+void vpr_apply_gain_db(float* buf, int64_t n, double gain_db) {
+    const float g = (float)std::pow(10.0, gain_db / 20.0);
+    for (int64_t i = 0; i < n; ++i) buf[i] *= g;
+}
+
+}  // extern "C"

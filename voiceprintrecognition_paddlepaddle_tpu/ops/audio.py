@@ -101,6 +101,14 @@ class AudioSegment:
             data = file.read()
             return cls.from_bytes(data)
         try:
+            from ..native import decode_wav_native
+            with open(str(file), "rb") as f:
+                decoded = decode_wav_native(f.read())
+            if decoded is not None:
+                return cls(*decoded)
+        except Exception:
+            pass
+        try:
             samples, rate = _decode_wav(str(file))
         except (wave.Error, EOFError):
             samples, rate = _decode_ieee_float_wav(str(file))
@@ -108,6 +116,13 @@ class AudioSegment:
 
     @classmethod
     def from_bytes(cls, data: bytes):
+        try:
+            from ..native import decode_wav_native
+            decoded = decode_wav_native(data)
+            if decoded is not None:
+                return cls(*decoded)
+        except Exception:
+            pass
         try:
             samples, rate = _decode_wav(io.BytesIO(data))
         except (wave.Error, EOFError):
@@ -153,9 +168,17 @@ class AudioSegment:
     def resample(self, target_sample_rate, filter="kaiser_best"):
         if target_sample_rate == self._sample_rate:
             return self
-        g = np.gcd(int(self._sample_rate), int(target_sample_rate))
-        up, down = target_sample_rate // g, self._sample_rate // g
-        self._samples = resample_poly(self._samples, up, down).astype(np.float32)
+        try:
+            from ..native import resample_native
+            out = resample_native(self._samples, self._sample_rate,
+                                  int(target_sample_rate))
+        except Exception:
+            out = None
+        if out is None:
+            g = np.gcd(int(self._sample_rate), int(target_sample_rate))
+            up, down = target_sample_rate // g, self._sample_rate // g
+            out = resample_poly(self._samples, up, down).astype(np.float32)
+        self._samples = out
         self._sample_rate = int(target_sample_rate)
         return self
 
