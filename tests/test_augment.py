@@ -1,0 +1,122 @@
+"""On-device augmentation ops + host speed perturb."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from voiceprintrecognition_paddlepaddle_tpu.ops.augment import (
+    DeviceAugmenter, SpeedPerturbAugmentor, apply_reverb, mix_noise,
+    normalize_db, rms_db, spec_augment)
+
+
+def test_normalize_db_hits_target():
+    rng = np.random.RandomState(0)
+    waves = (rng.randn(4, 16000) * np.array([[0.001], [0.01], [0.1], [1.0]])
+             ).astype(np.float32)
+    out = np.asarray(normalize_db(waves, target_db=-20.0))
+    got = 10 * np.log10((out ** 2).mean(axis=1))
+    assert np.allclose(got, -20.0, atol=0.1)
+
+
+def test_normalize_db_valid_ratio_correction():
+    rng = np.random.RandomState(0)
+    full = rng.randn(16000).astype(np.float32) * 0.1
+    padded = np.concatenate([full[:8000], np.zeros(8000, np.float32)])
+    out = np.asarray(normalize_db(padded[None], target_db=-20.0,
+                                  valid_ratio=np.array([0.5])))[0]
+    # RMS of the VALID half must hit the target
+    got = 10 * np.log10((out[:8000] ** 2).mean())
+    assert abs(got - (-20.0)) < 0.1
+
+
+def test_mix_noise_snr():
+    rng = np.random.RandomState(1)
+    sig = rng.randn(1, 32000).astype(np.float32) * 0.1
+    noise = rng.randn(1, 32000).astype(np.float32) * 0.5
+    out = np.asarray(mix_noise(sig, noise, np.array([20.0], np.float32)))
+    added = out - sig
+    snr = (rms_db(sig) - 10 * np.log10((added ** 2).mean(axis=1)))
+    assert abs(float(snr[0]) - 20.0) < 0.5
+
+
+def test_reverb_preserves_peak_and_length():
+    rng = np.random.RandomState(2)
+    sig = rng.randn(2, 16000).astype(np.float32) * 0.3
+    rir = np.zeros((2, 4000), np.float32)
+    rir[:, 0] = 1.0
+    rir[:, 2000] = 0.5  # echo
+    out = np.asarray(apply_reverb(sig, rir))
+    assert out.shape == sig.shape
+    assert np.allclose(np.abs(out).max(axis=1), np.abs(sig).max(axis=1),
+                       rtol=1e-4)
+
+
+def test_reverb_identity_rir():
+    rng = np.random.RandomState(3)
+    sig = rng.randn(1, 8000).astype(np.float32)
+    rir = np.zeros((1, 100), np.float32)
+    rir[:, 0] = 1.0
+    out = np.asarray(apply_reverb(sig, rir))
+    assert np.allclose(out, sig, atol=1e-3)
+
+
+def test_spec_augment_masks():
+    rng = jax.random.PRNGKey(0)
+    feats = np.ones((8, 100, 80), np.float32)
+    out = np.asarray(spec_augment(feats, rng, prob=1.0,
+                                  freq_mask_ratio=0.1, time_mask_ratio=0.05))
+    assert out.shape == feats.shape
+    # every sample has zeroed rows and columns of the right widths
+    for b in range(8):
+        zero_t = (out[b] == 0).all(axis=1).sum()
+        zero_f = (out[b] == 0).all(axis=0).sum()
+        assert zero_t >= 5   # time mask width = 5
+        assert zero_f >= 8   # freq mask width = 8
+    # prob=0 -> untouched
+    out0 = np.asarray(spec_augment(feats, rng, prob=0.0))
+    assert (out0 == feats).all()
+
+
+def test_speed_perturb_changes_length_and_label():
+    aug = SpeedPerturbAugmentor(prob=1.0, speed_perturb_3_class=True,
+                                num_speakers=10)
+    samples = np.sin(np.linspace(0, 100, 16000)).astype(np.float32)
+    seen_labels = set()
+    seen_lens = set()
+    rng = random.Random(0)
+    for _ in range(30):
+        out, spk = aug(samples, 3, rng)
+        seen_labels.add(spk)
+        seen_lens.add(len(out))
+    assert seen_labels <= {9, 10, 11}
+    assert len(seen_labels) == 3
+    assert len(seen_lens) == 3  # 16000, ~17778, ~14545
+
+
+def test_device_augmenter_passthrough_and_banks(tmp_path):
+    # build a noise bank dir with one clip
+    from voiceprintrecognition_paddlepaddle_tpu.ops.audio import AudioSegment
+    noise = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
+    (tmp_path / "noise").mkdir()
+    AudioSegment(noise, 16000).to_wav_file(str(tmp_path / "noise" / "n0.wav"))
+    aug_conf = {
+        "volume": {"prob": 1.0, "min_gain_dBFS": -6, "max_gain_dBFS": 6},
+        "noise": {"prob": 1.0, "noise_dir": str(tmp_path / "noise"),
+                  "min_snr_dB": 10, "max_snr_dB": 20},
+        "reverb": None,
+        "spec_aug": {"prob": 1.0},
+    }
+    aug = DeviceAugmenter(aug_conf, sample_rate=16000, clip_seconds=1,
+                          target_db=-20)
+    assert aug.noise_bank is not None and aug.noise_bank.shape == (1, 16000)
+    waves = np.random.RandomState(1).randn(4, 16000).astype(np.float32) * 0.05
+    out = np.asarray(aug(waves, jax.random.PRNGKey(0)))
+    assert out.shape == waves.shape
+    # dB-normalised at the end
+    assert np.allclose(10 * np.log10((out ** 2).mean(axis=1)), -20, atol=0.2)
+    feats = np.random.RandomState(2).randn(4, 100, 80).astype(np.float32)
+    fa = np.asarray(aug.augment_features(feats, jax.random.PRNGKey(1)))
+    assert fa.shape == feats.shape
+    assert (fa == 0).any()
