@@ -1,0 +1,89 @@
+"""Training-throughput benchmark on the real chip: the full fused DP train
+step (device augmentation + Fbank + backbone + classifier + AAM loss +
+Adam) on synthetic data. The reference's comparable number is ~440-480
+data/sec for EcapaTdnn batch 64 on its GPU (reference README.md:354-360).
+
+Usage: python tools/train_bench.py [model] [batch] [amp]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(model_name="EcapaTdnn", batch=64, amp=False):
+    import optax
+    from voiceprintrecognition_paddlepaddle_tpu.loss import AAMLoss
+    from voiceprintrecognition_paddlepaddle_tpu.models import MODELS
+    from voiceprintrecognition_paddlepaddle_tpu.models.fc import (
+        SpeakerIdentification)
+    from voiceprintrecognition_paddlepaddle_tpu.ops.features import (
+        compute_feature)
+
+    sr, seconds, n_mels, n_spk = 16000, 3, 80, 2796
+    dtype = jnp.bfloat16 if amp else None
+    model = MODELS[model_name](input_size=n_mels, embd_dim=192, dtype=dtype)
+    classifier = SpeakerIdentification(num_speakers=n_spk, dtype=dtype)
+    criterion = AAMLoss(margin=0.2, scale=32)
+    tx = optax.adam(1e-3)
+
+    rng = np.random.RandomState(0)
+    waves = jnp.asarray(rng.randn(batch, sr * seconds).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.randint(0, n_spk, size=batch))
+
+    feats0 = compute_feature(waves, "Fbank", sr=sr, n_mels=n_mels)
+    v = model.init(jax.random.PRNGKey(0), feats0, train=True)
+    c = classifier.init(jax.random.PRNGKey(1),
+                        jnp.zeros((batch, 192)), train=False)
+    params = {"backbone": v["params"], "classifier": c["params"]}
+    stats = {"backbone": v.get("batch_stats", {}),
+             "classifier": c.get("batch_stats", {})}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, waves, labels):
+        feats = compute_feature(waves, "Fbank", sr=sr, n_mels=n_mels)
+
+        def loss_fn(p):
+            emb, mb = model.apply(
+                {"params": p["backbone"], "batch_stats": stats["backbone"]},
+                feats, train=True, mutable=["batch_stats"])
+            out, _ = classifier.apply(
+                {"params": p["classifier"],
+                 "batch_stats": stats["classifier"]},
+                emb.astype(jnp.float32), train=False, mutable=["batch_stats"])
+            return criterion(out, labels, margin=jnp.float32(0.2)), \
+                {"backbone": mb["batch_stats"],
+                 "classifier": stats["classifier"]}
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    # warmup/compile
+    params, stats, opt_state, loss = step(params, stats, opt_state, waves,
+                                          labels)
+    jax.block_until_ready(loss)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, stats, opt_state, loss = step(params, stats, opt_state,
+                                              waves, labels)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{model_name} batch={batch} amp={amp}: {dt*1e3:.2f} ms/step, "
+          f"{batch/dt:.0f} data/sec (reference GPU: ~440-480)")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(args[0] if args else "EcapaTdnn",
+         int(args[1]) if len(args) > 1 else 64,
+         bool(int(args[2])) if len(args) > 2 else False)

@@ -338,8 +338,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self, save_model_path="models/", log_dir="log/",
               resume_model=None, pretrained_model=None, do_eval=True,
-              max_epochs=None):
+              max_epochs=None, profiler_dir=None):
+        """``profiler_dir``: when set, captures a ``jax.profiler`` device
+        trace of training steps 10-20 into that directory (open with
+        TensorBoard) — the tracing hook the reference lacks (SURVEY.md §5).
+        """
         rank, world = local_process_info()
+        self._profiler_dir = profiler_dir if rank == 0 else None
+        self._profiling = False
         writer = None
         if rank == 0:
             try:
@@ -436,6 +442,15 @@ class Trainer:
                 self.margin_scheduler.step(current_step=self.train_step_num)
             margin = np.float32(self._margin())
             data, labels, lens = shard_batch((data, labels, lens), self.mesh)
+            if getattr(self, "_profiler_dir", None):
+                if self.train_step_num == 10 and not self._profiling:
+                    jax.profiler.start_trace(self._profiler_dir)
+                    self._profiling = True
+                elif self.train_step_num == 20 and self._profiling:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    logger.info(f"profiler trace saved: {self._profiler_dir}")
             # async dispatch: no host sync except at log points
             self.state, metrics = self._jit_train_step(
                 self.state, data, lens, labels, margin, base_rng,
