@@ -1,0 +1,137 @@
+"""Trainer.export → Predictor roundtrip, and CLI script smoke tests run as
+subprocesses on the demo assets (the reference's de-facto validation
+strategy, SURVEY.md §4)."""
+
+import json
+import os
+import subprocess
+import sys
+import wave as wave_mod
+
+import numpy as np
+import pytest
+import yaml
+
+from voiceprintrecognition_paddlepaddle_tpu.predict import Predictor
+from voiceprintrecognition_paddlepaddle_tpu.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SR = 16000
+
+
+def _cfg(root, save=None):
+    return {
+        "dataset_conf": {
+            "dataset": {"min_duration": 0.3, "max_duration": 1.0,
+                        "sample_rate": SR, "use_dB_normalization": True,
+                        "target_dB": -20},
+            "sampler": {"batch_size": 8, "shuffle": True, "drop_last": True},
+            "dataLoader": {"num_workers": 2},
+            "eval_conf": {"batch_size": 4, "max_duration": 2},
+            "train_list": str(root / "train.txt"),
+            "enroll_list": str(root / "train.txt"),
+            "trials_list": str(root / "train.txt"),
+        },
+        "preprocess_conf": {"feature_method": "Fbank",
+                            "method_args": {"sr": SR, "n_mels": 40}},
+        "model_conf": {"model": "TDNN",
+                       "model_args": {"embd_dim": 24, "channels": 24,
+                                      "pooling_type": "TAP"},
+                       "classifier": {"classifier_type": "Cosine",
+                                      "num_speakers": 4}},
+        "loss_conf": {"loss": "AAMLoss", "loss_args": {"margin": 0.2}},
+        "optimizer_conf": {"optimizer": "Adam", "optimizer_args": {},
+                           "scheduler": "WarmupCosineSchedulerLR",
+                           "scheduler_args": {"learning_rate": 0.01,
+                                              "min_lr": 1.0e-5,
+                                              "warmup_epoch": 1}},
+        "train_conf": {"enable_amp": False, "max_epoch": 1,
+                       "log_interval": 10},
+    }
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    lines = []
+    rng = np.random.RandomState(0)
+    for spk in range(4):
+        for u in range(3):
+            p = root / f"s{spk}_{u}.wav"
+            t = np.arange(SR) / SR
+            sig = (0.3 * np.sin(2 * np.pi * (120 + spk * 70) * t)
+                   + 0.02 * rng.randn(SR)).astype(np.float32)
+            with wave_mod.open(str(p), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(SR)
+                w.writeframes((sig * 32767).astype("<i2").tobytes())
+            lines.append(f"{p}\t{spk}")
+    (root / "train.txt").write_text("\n".join(lines) + "\n", encoding="utf-8")
+    cfg = _cfg(root)
+    save = str(root / "models")
+    Trainer(configs=cfg).train(save_model_path=save,
+                               log_dir=str(root / "log"), do_eval=False)
+    cfg_path = root / "config.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg), encoding="utf-8")
+    return root, cfg, str(cfg_path), save
+
+
+def test_export_then_predict(trained):
+    root, cfg, cfg_path, save = trained
+    trainer = Trainer(configs=cfg)
+    infer_dir = trainer.export(
+        save_model_path=save,
+        resume_model=os.path.join(save, "TDNN_Fbank", "last_model"))
+    assert os.path.exists(os.path.join(infer_dir, "model.msgpack"))
+    assert os.path.exists(os.path.join(infer_dir, "inference.json"))
+    pred = Predictor(configs=cfg, model_path=infer_dir)
+    emb = pred.predict(str(root / "s0_0.wav"))
+    assert emb.shape == (24,)
+    # exported backbone matches the checkpointed one
+    pred2 = Predictor(configs=cfg,
+                      model_path=os.path.join(save, "TDNN_Fbank",
+                                              "last_model"))
+    emb2 = pred2.predict(str(root / "s0_0.wav"))
+    assert np.allclose(emb, emb2, atol=1e-5)
+
+
+def _run(script, *args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+
+
+def test_cli_infer_contrast(trained):
+    root, cfg, cfg_path, save = trained
+    r = _run("infer_contrast.py",
+             f"--configs={cfg_path}",
+             f"--model_path={os.path.join(save, 'TDNN_Fbank', 'last_model')}",
+             f"--audio_path1={root / 's0_0.wav'}",
+             f"--audio_path2={root / 's3_0.wav'}")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "similarity" in r.stdout
+
+
+def test_cli_eval(trained):
+    root, cfg, cfg_path, save = trained
+    r = _run("eval.py",
+             f"--configs={cfg_path}",
+             f"--resume_model={os.path.join(save, 'TDNN_Fbank', 'last_model')}",
+             f"--save_image_path={root / 'img'}")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EER" in r.stderr or "EER" in r.stdout
+
+
+def test_cli_diarization_on_demo_asset(trained):
+    root, cfg, cfg_path, save = trained
+    if not os.path.exists(os.path.join(REPO, "dataset", "test_long.wav")):
+        pytest.skip("demo assets not generated")
+    r = _run("infer_speaker_diarization.py",
+             f"--configs={cfg_path}",
+             f"--model_path={os.path.join(save, 'TDNN_Fbank', 'last_model')}",
+             f"--audio_path={os.path.join(REPO, 'dataset', 'test_long.wav')}")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "speaker" in r.stdout

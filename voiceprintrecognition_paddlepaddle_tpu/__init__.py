@@ -10,3 +10,13 @@ feature extraction) rather than translated from the reference.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # honour an explicit JAX_PLATFORMS=cpu even when a TPU plugin (axon)
+    # is installed — the plugin wins over the env var; the config update
+    # is authoritative. Needed for CPU-simulated multi-device testing.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

@@ -183,7 +183,19 @@ class Trainer:
         return ("waveforms",) + collate_waveforms(items, bucket=True)
 
     def __setup_model(self, input_size, is_train=False):
-        self.mesh = create_mesh()
+        # batch axis must divide evenly over the mesh; use the largest
+        # device count that divides the global train batch
+        n_dev = jax.device_count()
+        if is_train:
+            bs = int(self.configs.dataset_conf.sampler.batch_size)
+            while bs % n_dev:
+                n_dev -= 1
+            if n_dev != jax.device_count():
+                logger.warning(
+                    f"batch_size {bs} not divisible by "
+                    f"{jax.device_count()} devices; using a {n_dev}-device "
+                    f"data-parallel mesh")
+        self.mesh = create_mesh(jax.devices()[:n_dev])
         self.model = build_model(input_size=input_size, configs=self.configs,
                                  dtype=self.amp_dtype)
         num_class = self.configs.model_conf.classifier.num_speakers
@@ -365,8 +377,12 @@ class Trainer:
             self.state = self.state.replace(
                 params=merged["params"], batch_stats=merged["batch_stats"],
                 loss_params=merged["loss_params"])
-        self.state, last_epoch, best_eer = load_checkpoint(
-            self.configs, self.state, save_model_path, resume_model)
+        if save_model_path or resume_model:
+            self.state, last_epoch, best_eer = load_checkpoint(
+                self.configs, self.state, save_model_path or "",
+                resume_model)
+        else:
+            last_epoch, best_eer = 0, 1.0
         if self.margin_scheduler:
             self.margin_scheduler.step(current_step=int(self.state.step))
 
@@ -408,14 +424,14 @@ class Trainer:
                     writer.add_scalar("Test/eer", self.eval_eer,
                                       self.test_log_step)
                 self.test_log_step += 1
-                if self.eval_eer <= best_eer:
+                if self.eval_eer <= best_eer and save_model_path:
                     best_eer = self.eval_eer
                     save_checkpoint(self.configs, self.state, save_model_path,
                                     epoch_id, eer=self.eval_eer,
                                     min_dcf=self.eval_min_dcf,
                                     threshold=self.eval_threshold,
                                     margin=self._margin(), best_model=True)
-            if rank == 0:
+            if rank == 0 and save_model_path:
                 save_checkpoint(self.configs, self.state, save_model_path,
                                 epoch_id, eer=self.eval_eer,
                                 min_dcf=self.eval_min_dcf,
@@ -489,7 +505,8 @@ class Trainer:
                         writer.add_scalar("Train/margin", self._margin(),
                                           self.train_log_step)
                 self.train_log_step += 1
-            if batch_id % 10000 == 0 and batch_id != 0 and rank == 0:
+            if (batch_id % 10000 == 0 and batch_id != 0 and rank == 0
+                    and save_model_path):
                 save_checkpoint(self.configs, self.state, save_model_path,
                                 epoch_id, margin=self._margin())
 
@@ -620,8 +637,12 @@ class Trainer:
             feature_method=self.configs.preprocess_conf.feature_method,
             method_args=self.configs.preprocess_conf.get("method_args", {}))
         self.__setup_model(input_size=self.audio_featurizer.feature_dim)
-        self.state, _, _ = load_checkpoint(self.configs, self.state,
-                                           save_model_path, resume_model)
+        merged = load_pretrained(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats,
+             "loss_params": self.state.loss_params}, resume_model)
+        self.state = self.state.replace(params=merged["params"],
+                                        batch_stats=merged["batch_stats"])
         infer_dir = os.path.join(
             save_model_path,
             f"{self.configs.model_conf.model}_"
