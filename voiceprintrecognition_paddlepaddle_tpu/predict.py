@@ -29,7 +29,7 @@ from .models import build_model
 from .ops.audio import AudioSegment
 from .ops.features import AudioFeaturizer
 from .utils.logger import logger
-from .utils.utils import dict_to_object, print_arguments
+from .utils.utils import dict_to_object, print_arguments, select_platform
 
 __all__ = ["Predictor"]
 
@@ -41,6 +41,7 @@ class Predictor:
                  audio_db_path=None,
                  model_path="models/CAMPPlus_Fbank/best_model/",
                  use_gpu=True):
+        select_platform(use_gpu)
         if isinstance(configs, str):
             with open(configs, "r", encoding="utf-8") as f:
                 configs = yaml.load(f.read(), Loader=yaml.FullLoader)

@@ -47,7 +47,7 @@ from .parallel import (batch_sharding, create_mesh, local_process_info,
 from .utils.checkpoint import (load_checkpoint, load_pretrained,
                                save_checkpoint, save_msgpack)
 from .utils.logger import logger
-from .utils.utils import dict_to_object, print_arguments
+from .utils.utils import dict_to_object, print_arguments, select_platform
 
 __all__ = ["Trainer", "TrainState"]
 
@@ -70,6 +70,7 @@ class Trainer:
     "use the accelerator"; with no TPU visible JAX falls back to CPU)."""
 
     def __init__(self, configs, use_gpu=True, data_augment_configs=None):
+        select_platform(use_gpu)
         if isinstance(configs, str):
             with open(configs, "r", encoding="utf-8") as f:
                 configs = yaml.load(f.read(), Loader=yaml.FullLoader)

@@ -16,7 +16,21 @@ from .logger import logger
 __all__ = [
     "print_arguments", "add_arguments", "Dict", "dict_to_object",
     "cal_accuracy_threshold", "cal_accuracy", "cosin_metric",
+    "select_platform",
 ]
+
+
+def select_platform(use_accelerator=True):
+    """Map the reference's ``use_gpu`` flag to a JAX platform choice:
+    False forces CPU (best effort — must run before the backend
+    initialises)."""
+    if use_accelerator:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception as e:
+        logger.warning(f"could not force CPU platform: {e}")
 
 
 class Dict(dict):
