@@ -513,16 +513,28 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _embed_loader(self, loader, desc):
+        """Embed a whole loader, data-parallel over the mesh: batches pad
+        up to a multiple of the device count (padding rows discarded), so
+        eval scales across chips like training does."""
         if self._jit_embed is None:
             self._jit_embed = self._build_embed_fn()
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         feats, labels = [], []
         for kind, data, y, lens in loader:
             if self.stop_eval:
                 break
+            b = data.shape[0]
+            pad = (-b) % n_dev
+            if pad:
+                data = np.concatenate(
+                    [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+                lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
+            if n_dev > 1:
+                data, lens = shard_batch((data, lens), self.mesh)
             emb = self._jit_embed(self.state, jnp.asarray(data),
                                   jnp.asarray(lens),
                                   from_waveforms=(kind == "waveforms"))
-            feats.append(np.asarray(emb))
+            feats.append(np.asarray(emb)[:b])
             labels.append(np.asarray(y))
         return np.concatenate(feats), np.concatenate(labels).astype(np.int32)
 
