@@ -1,10 +1,15 @@
-"""Benchmark: 16 kHz wav → on-device Fbank → CAM++ → 192-d embedding,
-utterances/sec on one chip (the BASELINE.json north-star metric).
+"""Benchmark: 16 kHz wav → on-device Fbank (Pallas) → CAM++ → 192-d
+embedding, utterances/sec on one chip (the BASELINE.json north-star
+metric).
+
+Methodology: ITERS iterations are chained *inside one jitted fori_loop*
+(each iteration's input depends on the previous output), so the timing is
+strictly device-serial — async dispatch, RPC pipelining, or runtime
+caching of identical executions cannot inflate it.
 
 Baseline: the reference logs ~440–480 data/sec for GPU *training*
 (reference README.md:354-360); no published inference number exists, so
-``vs_baseline`` is value / 480 — conservative, since training throughput
-overstates the reference's inference cost ceiling per utterance.
+``vs_baseline`` is value / 480.
 
 Prints one JSON line.
 """
@@ -16,11 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 128
+BATCH = 256
 SECONDS = 3
 SR = 16000
-WARMUP = 5
-ITERS = 30
+ITERS = 20
 BASELINE_UTT_PER_SEC = 480.0
 
 
@@ -33,23 +37,33 @@ def main():
     rng = np.random.RandomState(0)
     waves = jnp.asarray(rng.randn(BATCH, SR * SECONDS).astype(np.float32) * 0.1)
 
-    feats0 = compute_feature(waves, "Fbank", sr=SR, n_mels=80)
-    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
+    feats0 = compute_feature(waves[:2], "Fbank", sr=SR, n_mels=80)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), feats0, train=False))()
 
-    @jax.jit
-    def embed(variables, waves):
-        feats = compute_feature(waves, "Fbank", sr=SR, n_mels=80)
+    def embed_once(w):
+        feats = compute_feature(w, "Fbank", sr=SR, n_mels=80)
         return model.apply(variables, feats, train=False)
 
-    for _ in range(WARMUP):
-        embed(variables, waves).block_until_ready()
-    start = time.perf_counter()
-    for _ in range(ITERS):
-        out = embed(variables, waves)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
+    @jax.jit
+    def embed_chained(w):
+        def body(i, carry):
+            w2, _ = carry
+            emb = embed_once(w2)
+            # data dependency: next input derives from this output
+            return (w2 * (1.0 + emb[0, 0].astype(jnp.float32) * 1e-12), emb)
 
-    utt_per_sec = BATCH * ITERS / elapsed
+        _, emb = jax.lax.fori_loop(
+            0, ITERS, body,
+            (w, jnp.zeros((w.shape[0], 192), jnp.bfloat16)))
+        return emb
+
+    embed_chained(waves).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    embed_chained(waves).block_until_ready()
+    elapsed = (time.perf_counter() - t0) / ITERS
+
+    utt_per_sec = BATCH / elapsed
     print(json.dumps({
         "metric": "wav_to_campplus_embedding_throughput",
         "value": round(utt_per_sec, 2),

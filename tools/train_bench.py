@@ -1,7 +1,13 @@
 """Training-throughput benchmark on the real chip: the full fused DP train
-step (device augmentation + Fbank + backbone + classifier + AAM loss +
-Adam) on synthetic data. The reference's comparable number is ~440-480
-data/sec for EcapaTdnn batch 64 on its GPU (reference README.md:354-360).
+step (device augmentation-free synthetic batch + Fbank + backbone +
+classifier + AAM loss + Adam) on synthetic data.
+
+Methodology: ITERS optimizer steps run chained inside one jitted fori_loop
+(params/opt-state carry), so the measurement is strictly device-serial and
+immune to async-dispatch / RPC-pipelining artifacts.
+
+The reference's comparable number is ~440-480 data/sec for EcapaTdnn batch
+64 on its GPU (reference README.md:354-360).
 
 Usage: python tools/train_bench.py [model] [batch] [amp]
 """
@@ -15,6 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+ITERS = 10
 
 
 def main(model_name="EcapaTdnn", batch=64, amp=False):
@@ -37,17 +45,19 @@ def main(model_name="EcapaTdnn", batch=64, amp=False):
     waves = jnp.asarray(rng.randn(batch, sr * seconds).astype(np.float32) * 0.1)
     labels = jnp.asarray(rng.randint(0, n_spk, size=batch))
 
-    feats0 = compute_feature(waves, "Fbank", sr=sr, n_mels=n_mels)
-    v = model.init(jax.random.PRNGKey(0), feats0, train=True)
-    c = classifier.init(jax.random.PRNGKey(1),
-                        jnp.zeros((batch, 192)), train=False)
-    params = {"backbone": v["params"], "classifier": c["params"]}
-    stats = {"backbone": v.get("batch_stats", {}),
-             "classifier": c.get("batch_stats", {})}
-    opt_state = tx.init(params)
+    def init_fn():
+        feats0 = compute_feature(waves[:2], "Fbank", sr=sr, n_mels=n_mels)
+        v = model.init(jax.random.PRNGKey(0), feats0, train=True)
+        c = classifier.init(jax.random.PRNGKey(1), jnp.zeros((2, 192)),
+                            train=False)
+        params = {"backbone": v["params"], "classifier": c["params"]}
+        stats = {"backbone": v.get("batch_stats", {}),
+                 "classifier": c.get("batch_stats", {})}
+        return params, stats, tx.init(params)
 
-    @jax.jit
-    def step(params, stats, opt_state, waves, labels):
+    params, stats, opt_state = jax.jit(init_fn)()
+
+    def one_step(params, stats, opt_state, waves, labels):
         feats = compute_feature(waves, "Fbank", sr=sr, n_mels=n_mels)
 
         def loss_fn(p):
@@ -59,25 +69,29 @@ def main(model_name="EcapaTdnn", batch=64, amp=False):
                  "batch_stats": stats["classifier"]},
                 emb.astype(jnp.float32), train=False, mutable=["batch_stats"])
             return criterion(out, labels, margin=jnp.float32(0.2)), \
-                {"backbone": mb["batch_stats"],
-                 "classifier": stats["classifier"]}
+                mb["batch_stats"]
 
-        (loss, new_stats), grads = jax.value_and_grad(
+        (loss, new_bstats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+        new_params = optax.apply_updates(params, updates)
+        return new_params, {"backbone": new_bstats,
+                            "classifier": stats["classifier"]}, new_opt, loss
 
-    # warmup/compile
-    params, stats, opt_state, loss = step(params, stats, opt_state, waves,
-                                          labels)
-    jax.block_until_ready(loss)
-    iters = 30
+    @jax.jit
+    def run(params, stats, opt_state, waves, labels):
+        def body(i, carry):
+            params, stats, opt_state, _ = carry
+            return one_step(params, stats, opt_state, waves, labels)
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 (params, stats, opt_state, jnp.float32(0)))
+
+    out = run(params, stats, opt_state, waves, labels)
+    jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        params, stats, opt_state, loss = step(params, stats, opt_state,
-                                              waves, labels)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
+    out = run(*out[:3], waves, labels)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
     print(f"{model_name} batch={batch} amp={amp}: {dt*1e3:.2f} ms/step, "
           f"{batch/dt:.0f} data/sec (reference GPU: ~440-480)")
 
