@@ -85,6 +85,17 @@ def test_export_then_predict(trained):
         resume_model=os.path.join(save, "TDNN_Fbank", "last_model"))
     assert os.path.exists(os.path.join(infer_dir, "model.msgpack"))
     assert os.path.exists(os.path.join(infer_dir, "inference.json"))
+    # StableHLO static graph round-trips and computes the same embedding
+    hlo_path = os.path.join(infer_dir, "model.stablehlo")
+    assert os.path.exists(hlo_path)
+    import jax
+    import jax.numpy as jnp
+    with open(hlo_path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    wave = np.zeros((1, SR * 3), np.float32)
+    wave[0, :SR] = 0.1 * np.sin(np.linspace(0, 800, SR))
+    out = exported.call(jnp.asarray(wave))
+    assert np.asarray(out).shape == (1, 24)
     pred = Predictor(configs=cfg, model_path=infer_dir)
     emb = pred.predict(str(root / "s0_0.wav"))
     assert emb.shape == (24,)

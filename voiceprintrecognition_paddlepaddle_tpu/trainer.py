@@ -642,10 +642,13 @@ class Trainer:
             logger.info(f"features extracted for {data_list} -> {save_list}")
 
     def export(self, save_model_path="models/",
-               resume_model="models/CAMPPlus_Fbank/best_model/"):
+               resume_model="models/CAMPPlus_Fbank/best_model/",
+               export_batch=1, export_seconds=3):
         """Save a backbone-only inference bundle (reference
-        ``trainer.py:449-474``'s static-graph export equivalent: params +
-        the config needed to rebuild the jitted forward)."""
+        ``trainer.py:449-474``'s static-graph export): params + config, plus
+        a serialized StableHLO module (``model.stablehlo``) of the full
+        wav→features→embedding forward at the given example shape — the
+        TPU-native equivalent of ``paddle.jit.save``."""
         self.audio_featurizer = AudioFeaturizer(
             feature_method=self.configs.preprocess_conf.feature_method,
             method_args=self.configs.preprocess_conf.get("method_args", {}))
@@ -671,7 +674,28 @@ class Trainer:
                   encoding="utf-8") as f:
             json.dump({"model": self.configs.model_conf.model,
                        "feature_method":
-                           self.configs.preprocess_conf.feature_method},
+                           self.configs.preprocess_conf.feature_method,
+                       "export_batch": export_batch,
+                       "export_seconds": export_seconds},
                       f, indent=2)
+        # serialized StableHLO of wav -> embedding (weights baked in)
+        try:
+            featurize = self.audio_featurizer.featurize
+            variables = {"params": self.state.params["backbone"],
+                         "batch_stats": self.state.batch_stats["backbone"]}
+            model = self.model
+
+            def forward(waves):
+                return model.apply(variables, featurize(waves), train=False)
+
+            sr = self.configs.dataset_conf.get("dataset", {}).get(
+                "sample_rate", 16000)
+            example = jax.ShapeDtypeStruct(
+                (export_batch, export_seconds * sr), jnp.float32)
+            exported = jax.export.export(jax.jit(forward))(example)
+            with open(os.path.join(infer_dir, "model.stablehlo"), "wb") as f:
+                f.write(exported.serialize())
+        except Exception as e:
+            logger.warning(f"StableHLO export skipped: {e}")
         logger.info(f"inference model saved: {infer_dir}")
         return infer_dir
