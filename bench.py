@@ -5,7 +5,12 @@ metric).
 Methodology: ITERS iterations are chained *inside one jitted fori_loop*
 (each iteration's input depends on the previous output), so the timing is
 strictly device-serial — async dispatch, RPC pipelining, or runtime
-caching of identical executions cannot inflate it.
+caching of identical executions cannot inflate it. Synchronisation is a
+host transfer of a scalar derived from the result (``block_until_ready``
+can be a no-op over tunneled TPU transports). Sanity bound: XLA cost
+analysis puts this program at 3.37 GFLOP and ~63 MB of HBM traffic per
+utterance — it is HBM-bandwidth-bound, so utt/s cannot exceed
+(HBM GB/s) / 0.063.
 
 Baseline: the reference logs ~440–480 data/sec for GPU *training*
 (reference README.md:354-360); no published inference number exists, so
@@ -58,9 +63,12 @@ def main():
             (w, jnp.zeros((w.shape[0], 192), jnp.bfloat16)))
         return emb
 
-    embed_chained(waves).block_until_ready()  # compile + warm
+    def _sync(x):
+        return float(np.asarray(jnp.sum(x[:1])))  # host transfer = real sync
+
+    _sync(embed_chained(waves))  # compile + warm
     t0 = time.perf_counter()
-    embed_chained(waves).block_until_ready()
+    _sync(embed_chained(waves))
     elapsed = (time.perf_counter() - t0) / ITERS
 
     utt_per_sec = BATCH / elapsed

@@ -87,10 +87,10 @@ def main(model_name="EcapaTdnn", batch=64, amp=False):
                                  (params, stats, opt_state, jnp.float32(0)))
 
     out = run(params, stats, opt_state, waves, labels)
-    jax.block_until_ready(out)  # compile + warm
+    float(np.asarray(out[3]))  # compile + warm (host transfer = real sync)
     t0 = time.perf_counter()
     out = run(*out[:3], waves, labels)
-    jax.block_until_ready(out)
+    float(np.asarray(out[3]))
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{model_name} batch={batch} amp={amp}: {dt*1e3:.2f} ms/step, "
           f"{batch/dt:.0f} data/sec (reference GPU: ~440-480)")
