@@ -1,0 +1,104 @@
+"""Checkpoint utils: layout, pruning, best-model, shape-filtered
+pretrained loading."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voiceprintrecognition_paddlepaddle_tpu.trainer import TrainState
+from voiceprintrecognition_paddlepaddle_tpu.utils.checkpoint import (
+    load_checkpoint, load_pretrained, save_checkpoint, save_msgpack)
+from voiceprintrecognition_paddlepaddle_tpu.utils.utils import dict_to_object
+
+CFG = dict_to_object({
+    "model_conf": {"model": "TDNN"},
+    "preprocess_conf": {"feature_method": "Fbank"},
+    "loss_conf": {"loss": "AAMLoss"},
+})
+
+
+def _state(val=1.0):
+    return TrainState(
+        params={"backbone": {"w": jnp.full((3, 3), val)}},
+        batch_stats={"backbone": {"mean": jnp.zeros((3,))}},
+        loss_params={},
+        opt_state={"m": jnp.zeros((3, 3))},
+        step=jnp.asarray(7, jnp.int32))
+
+
+def test_save_resume_roundtrip(tmp_path):
+    save = str(tmp_path)
+    save_checkpoint(CFG, _state(2.5), save, epoch_id=4, eer=0.11,
+                    min_dcf=0.5, threshold=0.3, margin=0.2)
+    d = os.path.join(save, "TDNN_Fbank")
+    assert os.path.isdir(os.path.join(d, "epoch_4"))
+    assert os.path.isdir(os.path.join(d, "last_model"))
+    with open(os.path.join(d, "epoch_4", "model.state")) as f:
+        meta = json.load(f)
+    assert meta["last_epoch"] == 4 and meta["eer"] == 0.11
+    assert meta["loss"] == "AAMLoss" and meta["margin"] == 0.2
+
+    state, last_epoch, best_eer = load_checkpoint(CFG, _state(0.0), save)
+    assert last_epoch == 4 and best_eer == 0.11
+    assert float(state.params["backbone"]["w"][0, 0]) == 2.5
+    assert int(state.step) == 7
+
+
+def test_epoch_pruning(tmp_path):
+    save = str(tmp_path)
+    for e in range(1, 6):
+        save_checkpoint(CFG, _state(), save, epoch_id=e)
+    d = os.path.join(save, "TDNN_Fbank")
+    eps = sorted(x for x in os.listdir(d) if x.startswith("epoch_"))
+    # epoch_{n-3} pruned each save: only the last 3 remain
+    assert eps == ["epoch_3", "epoch_4", "epoch_5"]
+
+
+def test_best_model_not_pruned_and_no_last_copy(tmp_path):
+    save = str(tmp_path)
+    save_checkpoint(CFG, _state(), save, epoch_id=1, eer=0.2,
+                    best_model=True)
+    d = os.path.join(save, "TDNN_Fbank")
+    assert os.path.isdir(os.path.join(d, "best_model"))
+    assert not os.path.exists(os.path.join(d, "last_model"))
+
+
+def test_load_pretrained_shape_filtering(tmp_path):
+    good = {"params": {"backbone": {"w": np.ones((3, 3), np.float32),
+                                    "extra": np.ones((2,), np.float32)}},
+            "batch_stats": {}, "loss_params": {}}
+    path = os.path.join(str(tmp_path), "model.msgpack")
+    save_msgpack(good, path)
+    target = {"params": {"backbone": {"w": np.zeros((3, 3), np.float32),
+                                      "v": np.zeros((4,), np.float32)}},
+              "batch_stats": {}, "loss_params": {}}
+    merged = load_pretrained(target, str(tmp_path))
+    assert (merged["params"]["backbone"]["w"] == 1).all()   # loaded
+    assert (merged["params"]["backbone"]["v"] == 0).all()   # missing: kept
+
+
+def test_load_pretrained_shape_mismatch_skipped(tmp_path):
+    ckpt = {"params": {"backbone": {"w": np.ones((5, 5), np.float32)}},
+            "batch_stats": {}, "loss_params": {}}
+    path = os.path.join(str(tmp_path), "model.msgpack")
+    save_msgpack(ckpt, path)
+    target = {"params": {"backbone": {"w": np.zeros((3, 3), np.float32)}},
+              "batch_stats": {}, "loss_params": {}}
+    merged = load_pretrained(target, str(tmp_path))
+    assert (merged["params"]["backbone"]["w"] == 0).all()  # skipped
+
+
+def test_resume_missing_dir_is_noop(tmp_path):
+    state, last_epoch, best = load_checkpoint(CFG, _state(3.0),
+                                              str(tmp_path))
+    assert last_epoch == 0 and best == 1.0
+    assert float(state.params["backbone"]["w"][0, 0]) == 3.0
+
+
+def test_explicit_resume_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint(CFG, _state(), str(tmp_path),
+                        resume_model=str(tmp_path / "nope"))
