@@ -79,6 +79,31 @@ def test_spec_augment_masks():
     assert (out0 == feats).all()
 
 
+def test_time_warp_preserves_shape_and_endpoints():
+    from voiceprintrecognition_paddlepaddle_tpu.ops.augment import time_warp
+    rng = jax.random.PRNGKey(0)
+    feats = np.tile(np.arange(100, dtype=np.float32)[None, :, None],
+                    (4, 1, 8))
+    out = np.asarray(time_warp(feats, rng, max_time_warp=5))
+    assert out.shape == feats.shape
+    # endpoints anchored, interior monotone nondecreasing along time
+    assert np.allclose(out[:, 0, 0], 0.0, atol=1e-4)
+    assert np.allclose(out[:, -1, 0], 99.0, atol=1e-4)
+    assert (np.diff(out[:, :, 0], axis=1) >= -1e-4).all()
+    # warping actually moved something
+    assert np.abs(out - feats).max() > 0.5
+    # warp=0 is identity
+    same = np.asarray(time_warp(feats, rng, max_time_warp=0))
+    assert (same == feats).all()
+
+
+def test_spec_augment_with_warp():
+    rng = jax.random.PRNGKey(1)
+    feats = np.random.RandomState(0).randn(4, 100, 16).astype(np.float32)
+    out = np.asarray(spec_augment(feats, rng, prob=1.0, max_time_warp=5))
+    assert out.shape == feats.shape
+
+
 def test_speed_perturb_changes_length_and_label():
     aug = SpeedPerturbAugmentor(prob=1.0, speed_perturb_3_class=True,
                                 num_speakers=10)

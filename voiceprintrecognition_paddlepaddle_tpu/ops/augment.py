@@ -141,19 +141,50 @@ def apply_reverb(waves, rir):
     return out * peak_dry / jnp.maximum(peak_wet, 1e-8)
 
 
+def time_warp(features, rng, max_time_warp=5):
+    """SpecAugment time-warping: per-sample piecewise-linear warp of the
+    time axis — a random source point in the middle of the utterance is
+    pulled to a random target within ±max_time_warp frames, with linear
+    interpolation (yeaudio SpecAugmentor's warp, default off in the
+    reference config)."""
+    b, t, f = features.shape
+    w = int(max_time_warp)
+    if w == 0 or t - 2 * w <= 0:
+        return features
+    k1, k2 = jax.random.split(rng)
+    center = jax.random.randint(k1, (b,), w, t - w).astype(jnp.float32)
+    dest = center + jax.random.randint(k2, (b,), -w, w + 1).astype(jnp.float32)
+    pos = jnp.arange(t, dtype=jnp.float32)[None, :]           # output index
+    c, d = center[:, None], dest[:, None]
+    # map output position -> source position (two linear segments)
+    left = pos * c / jnp.maximum(d, 1.0)
+    right = c + (pos - d) * (t - 1 - c) / jnp.maximum(t - 1 - d, 1.0)
+    src = jnp.where(pos <= d, left, right)
+    src = jnp.clip(src, 0.0, t - 1.0)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    frac = (src - lo)[..., None]
+    gather = jax.vmap(lambda feat, idx: feat[idx])
+    return gather(features, lo) * (1 - frac) + gather(features, hi) * frac
+
+
 def spec_augment(features, rng, freq_mask_ratio=0.1, n_freq_masks=1,
                  time_mask_ratio=0.05, n_time_masks=1, prob=0.5,
-                 valid_ratio=None):
+                 max_time_warp=0, valid_ratio=None):
     """Batched SpecAugment on (B, T, F): per-sample random time/freq zero
     masks (yeaudio SpecAugmentor core, applied at reference
-    ``reader.py:105-107``). Mask widths are the reference's
-    ``ratio * dim``; ``prob`` gates per sample."""
+    ``reader.py:105-107``) and optional time-warping. Mask widths are the
+    reference's ``ratio * dim``; ``prob`` gates per sample."""
     b, t, f = features.shape
     f_width = max(int(f * freq_mask_ratio), 1)
     t_width = max(int(t * time_mask_ratio), 1)
 
     keys = jax.random.split(rng, 5)
     apply = jax.random.uniform(keys[0], (b, 1, 1)) < prob
+    if max_time_warp:
+        features = jnp.where(apply,
+                             time_warp(features, keys[3], max_time_warp),
+                             features)
 
     def _mask(key, dim, width, n_masks, axis_len_valid=None):
         # (B, n_masks) starts
@@ -235,4 +266,5 @@ class DeviceAugmenter:
             n_freq_masks=int(self.spec_conf.get("n_freq_masks", 1)),
             time_mask_ratio=float(self.spec_conf.get("time_mask_ratio", 0.05)),
             n_time_masks=int(self.spec_conf.get("n_time_masks", 1)),
+            max_time_warp=int(self.spec_conf.get("max_time_warp", 0)),
             prob=float(self.spec_conf.get("prob", 0.5)))
