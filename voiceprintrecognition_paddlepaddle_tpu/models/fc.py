@@ -33,11 +33,15 @@ class SpeakerIdentification(nn.Module):
         if self.classifier_type == "Cosine":
             weight = self.param("weight", nn.initializers.xavier_uniform(),
                                 (x.shape[-1], self.num_speakers * self.K))
-            x_n = x / jnp.maximum(
-                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            # cosine logits always in fp32: the margin losses derive
+            # sin(theta) from sqrt(1-cos^2) — bf16 here would corrupt the
+            # margin geometry, and this matmul is negligible compute
+            x32 = x.astype(jnp.float32)
+            x_n = x32 / jnp.maximum(
+                jnp.linalg.norm(x32, axis=-1, keepdims=True), 1e-12)
             w_n = weight / jnp.maximum(
                 jnp.linalg.norm(weight, axis=0, keepdims=True), 1e-12)
-            logits = jnp.matmul(x_n, w_n.astype(x_n.dtype))
+            logits = jnp.matmul(x_n, w_n)
         elif self.classifier_type == "Linear":
             logits = nn.Dense(self.num_speakers, dtype=self.dtype)(x)
         else:
