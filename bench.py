@@ -20,11 +20,19 @@ Prints one JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: repeat runs (e.g. the driver) skip the
+# multi-minute CAM++ compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 BATCH = 256
 SECONDS = 3

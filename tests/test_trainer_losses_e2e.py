@@ -108,6 +108,14 @@ def test_amp_bf16_epoch(data):
     assert all(d == np.float32 for d in dtypes)
 
 
+def test_remat_epoch(data):
+    cfg = _cfg(data, {"loss": "AAMLoss", "loss_args": {"margin": 0.2}})
+    cfg["train_conf"]["enable_remat"] = True
+    trainer = Trainer(configs=cfg)
+    trainer.train(save_model_path=None, log_dir=None, do_eval=False)
+    assert int(trainer.state.step) > 0
+
+
 def test_linear_classifier_epoch(data):
     trainer = Trainer(configs=_cfg(
         data, {"loss": "CELoss", "loss_args": {}},

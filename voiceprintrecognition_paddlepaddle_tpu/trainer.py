@@ -279,6 +279,7 @@ class Trainer:
         loss_name = self._loss_name()
         sub_k = (self.configs.loss_conf.get("loss_args", {}).get("K", 3)
                  if loss_name == "SubCenterLoss" else 1)
+        use_remat = bool(self.configs.train_conf.get("enable_remat", False))
 
         @partial(jax.jit, donate_argnums=(0,),
                  static_argnames=("from_waveforms",))
@@ -293,11 +294,19 @@ class Trainer:
                 feats = batch_data
             feats = augmenter.augment_features(feats, spec_rng)
 
-            def loss_fn(params, loss_params):
-                variables = {"params": params["backbone"],
+            def backbone_fwd(backbone_params, feats):
+                variables = {"params": backbone_params,
                              "batch_stats": state.batch_stats["backbone"]}
-                emb, mut_b = model.apply(variables, feats, train=True,
-                                         mutable=["batch_stats"])
+                return model.apply(variables, feats, train=True,
+                                   mutable=["batch_stats"])
+
+            if use_remat:
+                # trade FLOPs for activation memory (useful for very large
+                # batches; measured slower when memory is not the limit)
+                backbone_fwd = jax.checkpoint(backbone_fwd)
+
+            def loss_fn(params, loss_params):
+                emb, mut_b = backbone_fwd(params["backbone"], feats)
                 cvars = {"params": params["classifier"],
                          "batch_stats": state.batch_stats["classifier"]}
                 outputs, mut_c = classifier.apply(cvars, emb, train=True,
