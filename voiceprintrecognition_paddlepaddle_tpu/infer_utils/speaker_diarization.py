@@ -93,14 +93,16 @@ class SpeakerDiarization:
     @staticmethod
     def _merge_by_cos(labels, spk_center_emb, cos_thr):
         """Iteratively merge the most-similar centroid pair while their
-        cosine ≥ threshold."""
+        cosine ≥ threshold.
+
+        Note: the reference (``speaker_diarization.py:112-136``) re-reads
+        the *original* centroid list by the re-numbered labels after each
+        merge, mis-aligning centroids and over-merging; here the merged
+        centroid row is deleted so indices stay consistent."""
         assert 0 < cos_thr <= 1
         labels = labels.copy()
-        while True:
-            spk_num = labels.max() + 1
-            if spk_num == 1:
-                break
-            centers = np.stack([spk_center_emb[i] for i in range(spk_num)])
+        centers = np.asarray(spk_center_emb, dtype=np.float64).copy()
+        while centers.shape[0] > 1:
             normed = centers / np.linalg.norm(centers, axis=1, keepdims=True)
             affinity = np.triu(normed @ normed.T, 1)
             a, b = np.unravel_index(np.argmax(affinity), affinity.shape)
@@ -108,6 +110,7 @@ class SpeakerDiarization:
                 break
             labels[labels == b] = a
             labels[labels > b] -= 1
+            centers = np.delete(centers, b, axis=0)
         return labels
 
     # ------------------------------------------------------------------
