@@ -77,6 +77,8 @@ def test_bucket_length_monotone():
         assert b >= n and b >= prev
         prev = b
     assert bucket_length(16000) == 16000
+    assert bucket_length(32000) == 32000  # exact power stays exact
+    assert bucket_length(32001) == 64000
 
 
 def test_collate_waveforms():

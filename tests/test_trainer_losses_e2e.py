@@ -124,6 +124,33 @@ def test_linear_classifier_epoch(data):
     assert int(trainer.state.step) > 0
 
 
+def test_noise_reverb_banks_e2e(data, tmp_path):
+    """Full epoch with on-device noise mixing + RIR reverb from banks."""
+    from voiceprintrecognition_paddlepaddle_tpu.ops.audio import AudioSegment
+    rng = np.random.RandomState(0)
+    for d, make in (("noise", lambda: rng.randn(SR).astype(np.float32) * 0.1),
+                    ("reverb", lambda: np.concatenate(
+                        [[1.0], rng.randn(3999) * np.exp(
+                            -np.arange(3999) / 800)]).astype(np.float32))):
+        (tmp_path / d).mkdir()
+        for i in range(2):
+            AudioSegment(make(), SR).to_wav_file(
+                str(tmp_path / d / f"{i}.wav"))
+    aug = {"speed": {"prob": 0.5},
+           "volume": {"prob": 0.5, "min_gain_dBFS": -6, "max_gain_dBFS": 6},
+           "noise": {"prob": 0.8, "noise_dir": str(tmp_path / "noise"),
+                     "min_snr_dB": 10, "max_snr_dB": 30},
+           "reverb": {"prob": 0.8, "reverb_dir": str(tmp_path / "reverb")},
+           "spec_aug": {"prob": 0.5, "max_time_warp": 3}}
+    trainer = Trainer(configs=_cfg(data, {"loss": "AAMLoss",
+                                          "loss_args": {"margin": 0.2}}),
+                      data_augment_configs=aug)
+    trainer.train(save_model_path=None, log_dir=None, do_eval=False)
+    assert int(trainer.state.step) > 0
+    assert trainer.augmenter.noise_bank is not None
+    assert trainer.augmenter.rir_bank is not None
+
+
 def test_speed_perturb_3class_grows_classifier(data):
     aug = {"speed": {"prob": 1.0, "speed_perturb_3_class": True}}
     trainer = Trainer(configs=_cfg(data, {"loss": "AAMLoss",

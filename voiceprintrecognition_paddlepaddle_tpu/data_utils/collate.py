@@ -14,12 +14,15 @@ import numpy as np
 __all__ = ["collate_waveforms", "collate_features", "bucket_length"]
 
 
-def bucket_length(n, minimum=16000):
-    """Smallest bucket ≥ n from a ×√2 progression starting at ``minimum``."""
+def bucket_length(n, minimum=16000, factor=2.0):
+    """Smallest bucket ≥ n from a ×factor progression starting at
+    ``minimum``. The default ×2 progression keeps the number of compiled
+    programs small (padding is masked on device anyway); use √2 when
+    padding waste matters more than compile count."""
     if n <= minimum:
         return minimum
-    steps = math.ceil(math.log(n / minimum) / math.log(math.sqrt(2)))
-    return int(round(minimum * math.sqrt(2) ** steps))
+    steps = math.ceil(math.log(n / minimum) / math.log(factor) - 1e-9)
+    return int(round(minimum * factor ** steps))
 
 
 def collate_waveforms(batch, bucket=True):
