@@ -20,3 +20,14 @@ if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
     import jax as _jax
 
     _jax.config.update("jax_platforms", "cpu")
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: keep package import light
+    if name == "Trainer":
+        from .trainer import Trainer
+        return Trainer
+    if name == "Predictor":
+        from .predict import Predictor
+        return Predictor
+    raise AttributeError(name)
