@@ -527,7 +527,12 @@ class Trainer:
         eval scales across chips like training does."""
         if self._jit_embed is None:
             self._jit_embed = self._build_embed_fn()
-        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        # eval runs on rank 0 only (reference semantics); with multiple
+        # processes the global mesh can't be used from one process, so
+        # fall back to local single-device embedding there
+        multi_process = jax.process_count() > 1
+        n_dev = (1 if multi_process or self.mesh is None
+                 else self.mesh.devices.size)
         feats, labels = [], []
         for kind, data, y, lens in loader:
             if self.stop_eval:
