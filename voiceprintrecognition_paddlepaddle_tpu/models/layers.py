@@ -117,8 +117,18 @@ class DenseBN(nn.Module):
 
 def avg_pool_exclusive(x, window, strides, padding):
     """2-D average pool over (F, T) of NHWC input that *excludes* padding
-    from the divisor, matching paddle's ``AvgPool2D(exclusive=True)``."""
-    summed = nn.pool(x, 0.0, jnp.add, window, strides, padding)
+    from the divisor, matching paddle's ``AvgPool2D(exclusive=True)``.
+
+    Uses ``lax.reduce_window`` with ``lax.add`` (the monoid form with a
+    transpose rule — the generic reduce_window is not reverse-mode
+    differentiable)."""
+    import jax
+
+    dims = (1,) + window + (1,)
+    strides = (1,) + strides + (1,)
+    pads = ((0, 0),) + padding + ((0, 0),)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
     ones = jnp.ones(x.shape[:-1] + (1,), dtype=x.dtype)
-    counts = nn.pool(ones, 0.0, jnp.add, window, strides, padding)
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides,
+                                   pads)
     return summed / counts
