@@ -557,6 +557,12 @@ class Trainer:
         ``trainer.py:367-447`` semantics with on-chip cosine scoring."""
         if self.enroll_loader is None or self.trials_loader is None:
             self.__setup_dataloader()
+        if self.enroll_loader is None or self.trials_loader is None:
+            raise FileNotFoundError(
+                "evaluate() needs dataset_conf.enroll_list and "
+                "dataset_conf.trials_list to exist "
+                f"(enroll_list={self.configs.dataset_conf.get('enroll_list')}, "
+                f"trials_list={self.configs.dataset_conf.get('trials_list')})")
         if self.model is None:
             self.__setup_model(input_size=self.audio_featurizer.feature_dim)
         if resume_model is not None:
