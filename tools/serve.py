@@ -1,0 +1,117 @@
+"""Minimal production-style HTTP serving front-end over the Predictor.
+
+Endpoints (JSON responses; audio is raw WAV bytes in the request body):
+
+    POST /embedding                 -> {"embedding": [...]}
+    POST /contrast?other=<path>     -> {"score": s}     (body vs db file)
+    POST /register?name=<user>      -> {"success": true}
+    POST /recognition[?threshold=t] -> {"name": ..., "score": ...}
+    GET  /users                     -> {"users": [...]}
+    POST /diarization[?speakers=n]  -> {"segments": [...]}
+
+stdlib-only (ThreadingHTTPServer); the Predictor's jitted embed calls are
+thread-safe (pure functions + GIL around the db mutations). For higher
+load put this behind a real ASGI server — the TPU-side batching already
+lives in ``Predictor.predict_batch``.
+
+Usage: python tools/serve.py --configs=... --model_path=... [--port 8000]
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from voiceprintrecognition_paddlepaddle_tpu.predict import Predictor
+from voiceprintrecognition_paddlepaddle_tpu.utils.utils import (
+    add_arguments, print_arguments)
+
+_db_lock = threading.Lock()
+
+
+def make_handler(predictor):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/users":
+                self._send(200, {"users": predictor.get_users()})
+            else:
+                self._send(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                audio = self._body()
+                if url.path == "/embedding":
+                    emb = predictor.predict(audio)
+                    self._send(200, {"embedding": emb.tolist()})
+                elif url.path == "/contrast":
+                    score = predictor.contrast(audio, q["other"])
+                    self._send(200, {"score": score})
+                elif url.path == "/register":
+                    with _db_lock:
+                        ok, msg = predictor.register(audio, q["name"])
+                    self._send(200, {"success": bool(ok), "message": msg})
+                elif url.path == "/recognition":
+                    thr = float(q["threshold"]) if "threshold" in q else None
+                    with _db_lock:
+                        name, score = predictor.recognition(audio, thr)
+                    self._send(200, {"name": name, "score": score})
+                elif url.path == "/diarization":
+                    spk = int(q["speakers"]) if "speakers" in q else None
+                    segs = predictor.speaker_diarization(audio,
+                                                         speaker_num=spk)
+                    self._send(200, {"segments": segs})
+                else:
+                    self._send(404, {"error": "unknown endpoint"})
+            except Exception as e:  # surface errors as JSON
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):
+            pass  # quiet
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_arg = functools.partial(add_arguments, argparser=parser)
+    add_arg("configs",       str,   "configs/cam++.yml", "config file path")
+    add_arg("model_path",    str,   "models/CAMPPlus_Fbank/best_model/",
+            "model directory")
+    add_arg("audio_db_path", str,   "audio_db/", "voiceprint database")
+    add_arg("threshold",     float, 0.6, "recognition threshold")
+    add_arg("host",          str,   "127.0.0.1", "bind address")
+    add_arg("port",          int,   8000, "port")
+    args = parser.parse_args(argv)
+    print_arguments(args=args)
+
+    predictor = Predictor(configs=args.configs, model_path=args.model_path,
+                          audio_db_path=args.audio_db_path,
+                          threshold=args.threshold)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(predictor))
+    print(f"serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
