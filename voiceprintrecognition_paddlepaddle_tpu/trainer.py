@@ -369,7 +369,7 @@ class Trainer:
         self._profiler_dir = profiler_dir if rank == 0 else None
         self._profiling = False
         writer = None
-        if rank == 0:
+        if rank == 0 and log_dir:
             try:
                 from tensorboardX import SummaryWriter
                 writer = SummaryWriter(logdir=log_dir)
