@@ -25,17 +25,24 @@ def bucket_length(n, minimum=16000, factor=2.0):
     return int(round(minimum * factor ** steps))
 
 
-def collate_waveforms(batch, bucket=True):
+def collate_waveforms(batch, bucket=True, quantize_int16=False):
     """``[(wave (L,), label, valid), ...]`` →
-    (waves (B, Lb), labels (B,), lens_ratio (B,))."""
+    (waves (B, Lb), labels (B,), lens_ratio (B,)).
+
+    ``quantize_int16`` ships the batch as int16 (the precision of the PCM
+    sources) and halves host→device transfer; the train step converts back
+    to float on device."""
     max_len = max(item[0].shape[0] for item in batch)
     if bucket:
         max_len = bucket_length(max_len)
     b = len(batch)
-    waves = np.zeros((b, max_len), dtype=np.float32)
+    dtype = np.int16 if quantize_int16 else np.float32
+    waves = np.zeros((b, max_len), dtype=dtype)
     labels = np.empty((b,), dtype=np.int64)
     ratios = np.empty((b,), dtype=np.float32)
     for i, (w, label, valid) in enumerate(batch):
+        if quantize_int16:
+            w = (np.clip(w, -1.0, 1.0) * 32767.0).astype(np.int16)
         waves[i, :w.shape[0]] = w
         labels[i] = label
         ratios[i] = min(valid, max_len) / max_len

@@ -176,7 +176,9 @@ class Trainer:
     def _train_collate(self, items):
         if items[0][0].ndim == 2:  # precomputed features
             return ("features",) + collate_features(items, bucket=True)
-        return ("waveforms",) + collate_waveforms(items, bucket=False)
+        # int16 transfer: half the host->device bytes, converted on device
+        return ("waveforms",) + collate_waveforms(items, bucket=False,
+                                                  quantize_int16=True)
 
     def _eval_collate(self, items):
         if items[0][0].ndim == 2:
@@ -288,6 +290,8 @@ class Trainer:
             aug_rng, spec_rng = jax.random.split(jax.random.fold_in(
                 rng, state.step))
             if from_waveforms:
+                if batch_data.dtype == jnp.int16:
+                    batch_data = batch_data.astype(jnp.float32) / 32768.0
                 waves = augmenter(batch_data, aug_rng, valid_ratio=lens_ratio)
                 feats = featurize(waves, input_lens_ratio=lens_ratio)
             else:
@@ -453,6 +457,33 @@ class Trainer:
                 if self.margin_scheduler else
                 self.configs.loss_conf.get("loss_args", {}).get("margin", 0.2))
 
+    def _device_prefetch(self, loader):
+        """Iterate the loader with one batch prefetched *onto the device*
+        in a background thread, overlapping host→device transfer with the
+        previous step's compute (matters on hosts with slow links)."""
+        import queue
+        import threading
+        q = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for kind, data, labels, lens in loader:
+                    sharded = shard_batch((data, labels, lens), self.mesh)
+                    q.put((kind,) + sharded)
+            except Exception as e:
+                q.put(e)
+                return
+            q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
     def __train_epoch(self, epoch_id, max_epoch, writer, rank, base_rng,
                       data_sharding, save_model_path):
         batch_size = self.configs.dataset_conf.sampler.batch_size
@@ -461,13 +492,12 @@ class Trainer:
         last_log_batch = 0
         world_bs = batch_size  # sampler batch is per-process
         for batch_id, (kind, data, labels, lens) in enumerate(
-                self.train_loader):
+                self._device_prefetch(self.train_loader)):
             if self.stop_train:
                 break
             if self.margin_scheduler:
                 self.margin_scheduler.step(current_step=self.train_step_num)
             margin = np.float32(self._margin())
-            data, labels, lens = shard_batch((data, labels, lens), self.mesh)
             if getattr(self, "_profiler_dir", None):
                 if self.train_step_num == 10 and not self._profiling:
                     jax.profiler.start_trace(self._profiler_dir)
