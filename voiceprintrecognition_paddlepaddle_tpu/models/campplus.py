@@ -213,7 +213,7 @@ class CAMPPlus(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         x = FCM(dtype=self.dtype)(x, train)
         x = TDNNLayer(self.init_channels, 5, stride=2, dilation=1, padding=-1,
                       config_str=self.config_str, dtype=self.dtype)(x, train)
@@ -232,9 +232,11 @@ class CAMPPlus(nn.Module):
             x = nn.Conv(channels // 2, (1,), dtype=self.dtype)(x)
             channels //= 2
         x = _NonLinear(self.config_str, dtype=self.dtype)(x, train)
-        # stats pooling: mean ‖ unbiased std (reference ``campplus.py:24-35``)
-        mean = jnp.mean(x, axis=1)
-        std = jnp.sqrt(jnp.maximum(jnp.var(x, axis=1, ddof=1), 0.0))
+        # stats pooling: mean ‖ unbiased std (reference ``campplus.py:24-35``);
+        # length-aware under padding (see models/pooling.py docstring)
+        from .pooling import masked_mean_var
+        mean, var = masked_mean_var(x, lengths, ddof=1)
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
         stats = jnp.concatenate([mean, std], axis=-1)
         return DenseBN(self.embd_dim, config_str="batchnorm_",
                        dtype=self.dtype)(stats, train)

@@ -121,7 +121,7 @@ class ERes2Net(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         assert self.pooling_type == "TSTP", f"no pooling layer {self.pooling_type}"
         m, mc = self.m_channels, self.mul_channel
         x = x.transpose(0, 2, 1)[..., None]  # (B, F, T, 1)
@@ -148,7 +148,7 @@ class ERes2Net(nn.Module):
                              padding=((1, 1), (1, 1)), dtype=self.dtype)(fuse123)
         fuse1234 = AFF(m * 16 * mc, dtype=self.dtype)(out4, fuse123_ds, train)
 
-        stats = TemporalStatsPool(dtype=self.dtype)(fuse1234, train)
+        stats = TemporalStatsPool(dtype=self.dtype)(fuse1234, train, lengths)
         embed = nn.Dense(self.embd_dim, dtype=self.dtype)(stats)
         if self.two_emb_layer:
             out = nn.relu(embed)
@@ -171,7 +171,7 @@ class ERes2NetV2(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         assert self.pooling_type == "TSTP", f"no pooling layer {self.pooling_type}"
         m = self.m_channels
         x = x.transpose(0, 2, 1)[..., None]
@@ -192,7 +192,7 @@ class ERes2NetV2(nn.Module):
                           padding=((1, 1), (1, 1)), dtype=self.dtype)(out3)
         fuse34 = AFF(m * 16, dtype=self.dtype)(out4, out3_ds, train)
 
-        stats = TemporalStatsPool(dtype=self.dtype)(fuse34, train)
+        stats = TemporalStatsPool(dtype=self.dtype)(fuse34, train, lengths)
         embed = nn.Dense(self.embd_dim, dtype=self.dtype)(stats)
         if self.two_emb_layer:
             out = nn.relu(embed)

@@ -3,6 +3,12 @@
 Functional parity with reference ``ppvector/models/pooling.py:8-146`` —
 TAP / TSP / SAP / ASP / TSTP — re-expressed channels-last. Variance uses
 ddof=1 where the reference relies on paddle's unbiased default.
+
+All poolings are length-aware: given ``lengths`` (valid-fraction per
+sample), statistics are computed over valid frames only, so padded-batch
+embeddings match exact-length inference (the reference pools over padding
+and eats the resulting embedding drift). ``lengths=None`` reproduces the
+reference's unmasked math exactly.
 """
 
 from typing import Any
@@ -11,6 +17,25 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import SamePadConv1d, TDNNBlock, length_to_mask
+
+
+def _time_mask(x_shape, lengths, dtype):
+    """(B, T, 1) validity mask from per-sample valid fractions."""
+    b, t = x_shape[0], x_shape[1]
+    return length_to_mask(lengths * t, t).astype(dtype)[:, :, None]
+
+
+def masked_mean_var(x, lengths, ddof=0):
+    """Mean/variance over valid frames of (B, T, C); unmasked when
+    lengths is None."""
+    if lengths is None:
+        return jnp.mean(x, axis=1), jnp.var(x, axis=1, ddof=ddof)
+    mask = _time_mask(x.shape, lengths, x.dtype)
+    n = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    mean = jnp.sum(x * mask, axis=1) / n
+    var = jnp.sum(((x - mean[:, None, :]) ** 2) * mask, axis=1) / \
+        jnp.maximum(n - ddof, 1.0)
+    return mean, var
 
 __all__ = ["TemporalAveragePooling", "TemporalStatisticsPooling",
            "SelfAttentivePooling", "AttentiveStatisticsPooling",
@@ -26,7 +51,7 @@ class TemporalAveragePooling(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, lengths=None):
-        return jnp.mean(x, axis=1)
+        return masked_mean_var(x, lengths)[0]
 
 
 class TemporalStatisticsPooling(nn.Module):
@@ -35,8 +60,7 @@ class TemporalStatisticsPooling(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, lengths=None):
-        mean = jnp.mean(x, axis=1)
-        var = jnp.var(x, axis=1, ddof=1)
+        mean, var = masked_mean_var(x, lengths, ddof=1)
         return jnp.concatenate([mean, var], axis=-1)
 
 
@@ -50,6 +74,9 @@ class SelfAttentivePooling(nn.Module):
     def __call__(self, x, train: bool = False, lengths=None):
         alpha = jnp.tanh(nn.Conv(self.bottleneck_dim, (1,), dtype=self.dtype)(x))
         alpha = nn.Conv(x.shape[-1], (1,), dtype=self.dtype)(alpha)
+        if lengths is not None:
+            mask = _time_mask(x.shape, lengths, x.dtype)
+            alpha = jnp.where(mask == 0, -jnp.inf, alpha)
         alpha = nn.softmax(alpha, axis=1)
         return jnp.sum(alpha * x, axis=1)
 
@@ -106,8 +133,8 @@ class TemporalStatsPool(nn.Module):
         if x.ndim == 4:
             b, f, t, c = x.shape
             x = x.transpose(0, 2, 1, 3).reshape(b, t, f * c)
-        mean = jnp.mean(x, axis=1)
-        std = jnp.sqrt(jnp.var(x, axis=1, ddof=1) + 1e-8)
+        mean, var = masked_mean_var(x, lengths, ddof=1)
+        std = jnp.sqrt(var + 1e-8)
         return jnp.concatenate([mean, std], axis=-1)
 
 

@@ -88,7 +88,7 @@ class Res2Net(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         # (B, T, F) -> NHWC (B, F, T, 1)
         x = x.transpose(0, 2, 1)[..., None]
         x = nn.Conv(self.m_channels, (7, 7), strides=(3, 3),
@@ -116,7 +116,7 @@ class Res2Net(nn.Module):
         x = x.transpose(0, 2, 1, 3).reshape(b, t, f * c)
         if self.pooling_type not in POOLINGS:
             raise ValueError(f"no pooling layer {self.pooling_type}")
-        x = POOLINGS[self.pooling_type](dtype=self.dtype)(x, train)
+        x = POOLINGS[self.pooling_type](dtype=self.dtype)(x, train, lengths)
         x = BatchNorm1d(dtype=self.dtype)(x, train)
         x = nn.Dense(self.embd_dim, dtype=self.dtype)(x)
         return BatchNorm1d(dtype=self.dtype)(x, train)

@@ -78,7 +78,7 @@ class ResNetSE(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         # (B, T, F) -> NHWC (B, F, T, 1)
         x = x.transpose(0, 2, 1)[..., None]
         x = nn.Conv(self.num_filters[0], (3, 3), padding=((1, 1), (1, 1)),
@@ -100,7 +100,7 @@ class ResNetSE(nn.Module):
         x = x.transpose(0, 2, 1, 3).reshape(b, t, f * c)
         if self.pooling_type not in POOLINGS:
             raise ValueError(f"no pooling layer {self.pooling_type}")
-        x = POOLINGS[self.pooling_type](dtype=self.dtype)(x, train)
+        x = POOLINGS[self.pooling_type](dtype=self.dtype)(x, train, lengths)
         x = BatchNorm1d(dtype=self.dtype)(x, train)
         x = nn.Dense(self.embd_dim, dtype=self.dtype)(x)
         return BatchNorm1d(dtype=self.dtype)(x, train)

@@ -24,7 +24,7 @@ class TDNN(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         def conv(k, d):
             return nn.Conv(self.channels, (k,), kernel_dilation=(d,),
                            padding="VALID", dtype=self.dtype)
@@ -37,7 +37,7 @@ class TDNN(nn.Module):
 
         if self.pooling_type not in POOLING_DIM_FACTOR:
             raise ValueError(f"no pooling layer {self.pooling_type}")
-        out = POOLINGS[self.pooling_type](dtype=self.dtype)(x, train)
+        out = POOLINGS[self.pooling_type](dtype=self.dtype)(x, train, lengths)
         out = BatchNorm1d(dtype=self.dtype)(out, train)
         out = nn.Dense(self.embd_dim, dtype=self.dtype)(out)
         return BatchNorm1d(dtype=self.dtype)(out, train)

@@ -90,7 +90,9 @@ class Predictor:
     def _embed_impl(self, waves, lens_ratio):
         feats = self._audio_featurizer.featurize(
             waves, input_lens_ratio=lens_ratio)
-        return self.model.apply(self.variables, feats, train=False)
+        # lengths make the pooling statistics padding-invariant
+        return self.model.apply(self.variables, feats, train=False,
+                                lengths=lens_ratio)
 
     # ------------------------------------------------------------------
     # audio db persistence (pickle format of reference predict.py:89-109)

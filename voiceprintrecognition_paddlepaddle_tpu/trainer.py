@@ -355,7 +355,9 @@ class Trainer:
                 feats = batch_data
             variables = {"params": state.params["backbone"],
                          "batch_stats": state.batch_stats["backbone"]}
-            return model.apply(variables, feats, train=False)
+            # lengths make the pooling statistics padding-invariant
+            return model.apply(variables, feats, train=False,
+                               lengths=lens_ratio)
 
         return embed
 
