@@ -301,7 +301,11 @@ class Trainer:
             def backbone_fwd(backbone_params, feats):
                 variables = {"params": backbone_params,
                              "batch_stats": state.batch_stats["backbone"]}
+                # length-aware pooling also in training (short clips are
+                # zero-padded to the fixed crop length), matching eval
                 return model.apply(variables, feats, train=True,
+                                   lengths=(lens_ratio if from_waveforms
+                                            else None),
                                    mutable=["batch_stats"])
 
             if use_remat:
