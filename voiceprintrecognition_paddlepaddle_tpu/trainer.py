@@ -49,7 +49,7 @@ from .utils.checkpoint import (load_checkpoint, load_pretrained,
 from .utils.logger import logger
 from .utils.utils import dict_to_object, print_arguments, select_platform
 
-__all__ = ["Trainer", "TrainState"]
+__all__ = ["Trainer", "TrainState", "PPVectorTrainer"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -755,3 +755,7 @@ class Trainer:
             logger.warning(f"StableHLO export skipped: {e}")
         logger.info(f"inference model saved: {infer_dir}")
         return infer_dir
+
+
+# reference-compatible alias (``ppvector.trainer.PPVectorTrainer``)
+PPVectorTrainer = Trainer
