@@ -47,6 +47,24 @@ def test_save_resume_roundtrip(tmp_path):
     assert int(state.step) == 7
 
 
+def test_resume_restores_best_eer_not_last(tmp_path):
+    """best_eer after resume must be the best seen (from best_model), and a
+    perfect EER of 0.0 must not be discarded as falsy."""
+    save = str(tmp_path)
+    save_checkpoint(CFG, _state(), save, epoch_id=3, eer=0.05,
+                    min_dcf=0.3, threshold=0.2, best_model=True)
+    save_checkpoint(CFG, _state(), save, epoch_id=4, eer=0.12,
+                    min_dcf=0.5, threshold=0.3)  # worse last epoch
+    _, last_epoch, best_eer = load_checkpoint(CFG, _state(0.0), save)
+    assert last_epoch == 4 and best_eer == 0.05
+
+    save2 = str(tmp_path / "zero")
+    save_checkpoint(CFG, _state(), save2, epoch_id=1, eer=0.0,
+                    min_dcf=0.0, threshold=0.5)
+    _, _, best_eer = load_checkpoint(CFG, _state(0.0), save2)
+    assert best_eer == 0.0
+
+
 def test_epoch_pruning(tmp_path):
     save = str(tmp_path)
     for e in range(1, 6):

@@ -112,6 +112,52 @@ def test_pk_sampler_structure(listfile):
         assert len(vals) == 2 and (counts == 2).all()
 
 
+class _FakeLabelDS:
+    """PKSampler only reads ``dataset.labels``."""
+
+    def __init__(self, n=200, classes=10):
+        self.labels = [np.int64(i % classes) for i in range(n)]
+
+    def __len__(self):
+        return len(self.labels)
+
+
+def test_pk_sampler_rank_disjoint_per_step():
+    ds = _FakeLabelDS()
+    per_rank = []
+    for rank in range(2):
+        s = PKSampler(ds, batch_size=8, sample_per_id=2,
+                      num_replicas=2, rank=rank)
+        per_rank.append(list(s))
+    assert len(per_rank[0]) == len(per_rank[1]) == 200 // 16
+    # same step on different replicas never shares an item (and P×K
+    # structure holds on every rank)
+    for b0, b1 in zip(per_rank[0], per_rank[1]):
+        assert not (set(b0) & set(b1)), (b0, b1)
+        for b in (b0, b1):
+            vals, counts = np.unique([ds.labels[i] for i in b],
+                                     return_counts=True)
+            assert len(vals) == 4 and (counts == 2).all()
+
+
+def test_pk_sampler_seed_no_collisions():
+    """(rank 0, epoch 2) must not replay (rank 1, epoch 1) — the old
+    rank*max(epoch,1)+epoch seed collided there — and successive epochs on
+    one rank must differ."""
+    ds = _FakeLabelDS()
+
+    def stream(rank, epoch):
+        s = PKSampler(ds, batch_size=8, sample_per_id=2,
+                      num_replicas=2, rank=rank)
+        s.set_epoch(epoch)
+        return [tuple(b) for b in s]
+
+    assert stream(0, 2) != stream(1, 1)
+    assert stream(0, 1) != stream(0, 2)
+    # deterministic given (rank, epoch)
+    assert stream(1, 3) == stream(1, 3)
+
+
 def test_batch_sampler_sharding(listfile):
     ds = SpeakerDataset(listfile, max_duration=1.0, mode="train")
     all_idx = []

@@ -46,6 +46,29 @@ def test_merge_by_cos():
     assert merged[2] == merged[5] != merged[0]
 
 
+def test_clustering_centers_align_with_labels_after_merge():
+    """Regression: centers returned by clustering() must index by the
+    *merged* labels (pre-merge centroids are misaligned once labels are
+    renumbered), otherwise audio-db retrieval names the wrong speakers."""
+    rng = np.random.RandomState(0)
+    # three blobs; two nearly identical so the centroid merge fires
+    base = np.eye(16)
+    X = np.concatenate([
+        rng.randn(30, 16) * 0.02 + base[0],
+        rng.randn(30, 16) * 0.02 + (0.995 * base[0] + 0.1 * base[1]),
+        rng.randn(30, 16) * 0.02 + base[5],
+    ])
+    sd = SpeakerDiarization(merge_threshold=0.9)
+    labels, centers = sd.clustering(X, speaker_num=3)
+    assert labels.max() + 1 == centers.shape[0] == 2  # the merge happened
+    for lab in range(centers.shape[0]):
+        true_mean = X[labels == lab].mean(0)
+        cos = float(centers[lab] @ true_mean
+                    / (np.linalg.norm(centers[lab])
+                       * np.linalg.norm(true_mean)))
+        assert cos > 0.9999, f"label {lab} misaligned with center: {cos}"
+
+
 def test_postprocess_merges_and_smooths():
     sd = SpeakerDiarization()
     segments = [[0.0, 1.5, None], [0.75, 2.25, None], [2.2, 3.7, None],

@@ -83,3 +83,25 @@ def test_pk_sampler_deterministic_per_epoch():
     assert e1a == e2a          # same epoch, same seed -> identical
     e1b = list(s1)             # epoch advanced inside the sampler
     assert e1a != e1b          # epochs differ
+
+
+def test_fbank_dither_reachable_through_featurizer(wave):
+    """Configs setting ``method_args.dither`` must work end-to-end
+    (the reference passes dither via method_args, featurizer.py:83-101)."""
+    import jax
+
+    base = AudioFeaturizer("Fbank", {"sr": 16000, "n_mels": 40})
+    feat = AudioFeaturizer("Fbank", {"sr": 16000, "n_mels": 40,
+                                     "dither": 0.1})
+    assert feat.dither == 0.1
+    clean = np.asarray(base(wave[None]))
+    noisy = np.asarray(feat(wave[None]))  # auto-keyed: must not crash
+    assert noisy.shape == clean.shape
+    assert not np.allclose(noisy, clean, atol=1e-6)  # dither did something
+    assert np.isfinite(noisy).all()
+
+    # explicit key -> deterministic
+    k = jax.random.PRNGKey(3)
+    a = np.asarray(feat(wave[None], rng=k))
+    b = np.asarray(feat(wave[None], rng=k))
+    assert np.array_equal(a, b)

@@ -88,3 +88,37 @@ def test_error_is_json(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "error" in json.loads(e.read())
+
+
+def _expect_400(url, body=b""):
+    import urllib.error
+    try:
+        _post(url, body)
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        return json.loads(e.read())
+    raise AssertionError(f"expected HTTP 400 for {url}")
+
+
+def test_register_rejects_path_traversal(server):
+    import urllib.parse
+    for bad in ("../evil", "a/b", "..", ".hidden", "a\\b"):
+        q = urllib.parse.quote(bad, safe="")
+        out = _expect_400(f"{server}/register?name={q}", _wav_bytes(120))
+        assert "error" in out
+
+
+def test_contrast_restricted_to_audio_db(server):
+    import urllib.parse
+    for bad in ("../../etc/passwd", "/etc/passwd"):
+        q = urllib.parse.quote(bad, safe="")
+        out = _expect_400(f"{server}/contrast?other={q}", _wav_bytes(120))
+        assert "error" in out
+
+
+def test_predictor_register_rejects_separators(server):
+    # defence in depth below the HTTP layer
+    from tests.test_predictor import _configs  # noqa: F401 (import check)
+    # reach into the running predictor via a fresh registration name
+    out = _expect_400(f"{server}/register?name=", _wav_bytes(120))
+    assert "error" in out

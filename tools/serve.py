@@ -35,6 +35,24 @@ from voiceprintrecognition_paddlepaddle_tpu.utils.utils import (
 _db_lock = threading.Lock()
 
 
+def _safe_user_name(name):
+    """Reject names that could escape the audio_db directory (path
+    traversal through ``os.path.join(audio_db_path, name)``). Unicode
+    names (e.g. Chinese) stay allowed."""
+    if not name or len(name) > 128:
+        return False
+    if any(c in name for c in ("/", "\\", "\x00")) or ".." in name:
+        return False
+    return not name.startswith(".")
+
+
+def _safe_db_file(path, audio_db_path):
+    """Only allow /contrast 'other' to reference files under audio_db."""
+    root = os.path.realpath(audio_db_path)
+    target = os.path.realpath(os.path.join(root, path))
+    return target if os.path.commonpath([root, target]) == root else None
+
+
 def make_handler(predictor):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
@@ -64,9 +82,18 @@ def make_handler(predictor):
                     emb = predictor.predict(audio)
                     self._send(200, {"embedding": emb.tolist()})
                 elif url.path == "/contrast":
-                    score = predictor.contrast(audio, q["other"])
+                    other = _safe_db_file(q["other"],
+                                          predictor.audio_db_path)
+                    if other is None or not os.path.isfile(other):
+                        self._send(400, {"error": "'other' must name a "
+                                                  "file inside audio_db"})
+                        return
+                    score = predictor.contrast(audio, other)
                     self._send(200, {"score": score})
                 elif url.path == "/register":
+                    if not _safe_user_name(q.get("name", "")):
+                        self._send(400, {"error": "invalid user name"})
+                        return
                     with _db_lock:
                         ok, msg = predictor.register(audio, q["name"])
                     self._send(200, {"success": bool(ok), "message": msg})

@@ -17,7 +17,7 @@ __all__ = ["PKSampler", "BatchSampler"]
 
 class PKSampler:
     def __init__(self, dataset, batch_size, sample_per_id, shuffle=True,
-                 drop_last=True, num_replicas=1, rank=0):
+                 drop_last=True, num_replicas=1, rank=0, seed=1000):
         assert batch_size % sample_per_id == 0, \
             f"batch_size({batch_size}) must be a multiple of sample_per_id"
         self.batch_size = batch_size
@@ -26,6 +26,7 @@ class PKSampler:
         self.drop_last = drop_last
         self.num_replicas = num_replicas
         self.rank = rank
+        self.seed = seed
         self.epoch = 0
         self.label_dict = defaultdict(list)
         for idx, label in enumerate(dataset.labels):
@@ -42,20 +43,37 @@ class PKSampler:
         self.epoch = epoch
 
     def __iter__(self):
-        rng = np.random.RandomState(self.rank * max(self.epoch, 1) + self.epoch)
+        # One (seed, epoch)-keyed stream executed identically on every
+        # rank; per step, the classes for ALL replicas are drawn jointly
+        # without replacement, so replica batches are disjoint within a
+        # step (distinct classes ⇒ distinct items), and epoch streams never
+        # collide (the old rank*max(epoch,1)+epoch seed collided — e.g.
+        # rank 0/epoch 2 replayed rank 1/epoch 1).
+        rng = np.random.RandomState((self.seed + self.epoch) % (2 ** 31))
         label_per_batch = self.batch_size // self.sample_per_id
+        need = label_per_batch * self.num_replicas
         for _ in range(self._num_batches):
-            chosen = rng.choice(len(self.label_list), size=label_per_batch,
+            if len(self.label_list) >= need:
+                chosen_all = rng.choice(len(self.label_list), size=need,
+                                        replace=False)
+            else:  # too few classes for fully disjoint replicas
+                chosen_all = np.concatenate(
+                    [rng.choice(len(self.label_list), size=label_per_batch,
                                 replace=False)
-            batch = []
-            for li in chosen:
-                pool = self.label_dict[self.label_list[li]]
-                batch.extend(rng.choice(
-                    pool, size=self.sample_per_id,
-                    replace=len(pool) < self.sample_per_id))
-            if self.shuffle:
-                rng.shuffle(batch)
-            yield [int(i) for i in batch]
+                     for _ in range(self.num_replicas)])
+            for r in range(self.num_replicas):
+                chosen = chosen_all[r * label_per_batch:
+                                    (r + 1) * label_per_batch]
+                batch = []
+                for li in chosen:
+                    pool = self.label_dict[self.label_list[li]]
+                    batch.extend(rng.choice(
+                        pool, size=self.sample_per_id,
+                        replace=len(pool) < self.sample_per_id))
+                if self.shuffle:
+                    rng.shuffle(batch)
+                if r == self.rank:
+                    yield [int(i) for i in batch]
         self.epoch += 1
 
 

@@ -81,13 +81,19 @@ class SpeakerDiarization:
     # clustering
     # ------------------------------------------------------------------
     def clustering(self, embeddings, speaker_num=None):
-        """Returns (labels, per-speaker centroid embeddings)."""
+        """Returns (labels, per-speaker centroid embeddings).
+
+        ``centers[i]`` is recomputed from the *final* merged labels, so it
+        always aligns with label ``i`` (the pre-merge centroid list would be
+        misaligned once ``_merge_by_cos`` renumbers labels)."""
         labels = self.spectral_cluster(embeddings, oracle_num=speaker_num)
         labels = self._correct_labels(labels)
         spk_num = labels.max() + 1
         centers = np.stack([embeddings[labels == i].mean(0)
                             for i in range(spk_num)], axis=0)
         labels = self._merge_by_cos(labels, centers, self.merge_threshold)
+        centers = np.stack([embeddings[labels == i].mean(0)
+                            for i in range(labels.max() + 1)], axis=0)
         return labels, centers
 
     @staticmethod

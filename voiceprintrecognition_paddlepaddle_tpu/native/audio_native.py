@@ -7,6 +7,7 @@ to the source; every entry point has a pure-Python fallback in
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,9 +22,15 @@ __all__ = ["native_available", "decode_wav_native", "resample_native",
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "audioio.cpp")
 _LIB_PATH = os.path.join(_HERE, "libaudioio.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _src_hash():
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build():
@@ -31,11 +38,25 @@ def _build():
            "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_HASH_PATH, "w") as f:
+            f.write(_src_hash())
         return True
     except Exception as e:
         logger.warning(f"native audioio build failed ({e}); "
                        f"using the Python decode path")
         return False
+
+
+def _stale():
+    """Rebuild when the recorded source hash differs (mtimes are arbitrary
+    on fresh checkouts; the library itself is never version-controlled)."""
+    if not os.path.exists(_LIB_PATH) or not os.path.exists(_HASH_PATH):
+        return True
+    try:
+        with open(_HASH_PATH) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def _load():
@@ -46,8 +67,7 @@ def _load():
         _tried = True
         if os.environ.get("VPR_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+        if _stale():
             if not _build():
                 return None
         try:

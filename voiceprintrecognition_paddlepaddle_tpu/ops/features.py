@@ -179,17 +179,18 @@ def mfcc(waveforms, sr=16000, n_mfcc=40, norm="ortho", ref_value=1.0,
 
 
 def _fbank_dispatch(waveforms, sr=16000, n_mels=23, use_pallas="auto",
-                    **kwargs):
+                    rng=None, **kwargs):
     """Fbank entry: routes standard configurations to the fused Pallas
     kernel on TPU (4-5x faster than the jnp matmul path on v5e), falling
-    back to ``kaldi.fbank`` for CPU or non-default kaldi options."""
+    back to ``kaldi.fbank`` for CPU or non-default kaldi options (including
+    ``dither``, which needs the PRNG key ``rng``)."""
     standard = not kwargs  # any non-default kaldi arg -> jnp path
     if use_pallas == "auto":
         use_pallas = standard and jax.default_backend() == "tpu"
     if use_pallas and standard:
         from .pallas_fbank import fbank_pallas
         return fbank_pallas(waveforms, sr=sr, n_mels=n_mels)
-    return kaldi.fbank(waveforms, sr=sr, n_mels=n_mels, **kwargs)
+    return kaldi.fbank(waveforms, sr=sr, n_mels=n_mels, rng=rng, **kwargs)
 
 
 _METHODS = {
@@ -219,11 +220,16 @@ def apply_cmn_and_mask(feature, input_lens_ratio=None):
 
 
 def compute_feature(waveforms, feature_method="MelSpectrogram",
-                    input_lens_ratio=None, **method_args):
-    """Pure function: padded waveforms ``(B, L)`` -> features ``(B, T, F)``."""
+                    input_lens_ratio=None, rng=None, **method_args):
+    """Pure function: padded waveforms ``(B, L)`` -> features ``(B, T, F)``.
+
+    ``rng`` is consumed only by Fbank's ``dither`` (reference accepts
+    ``dither`` via ``method_args``, ``featurizer.py:83-101``)."""
     fn, defaults = _METHODS[feature_method]
     kwargs = dict(defaults)
     kwargs.update(method_args)
+    if feature_method == "Fbank":
+        kwargs["rng"] = rng
     feature = fn(waveforms, **kwargs)
     return apply_cmn_and_mask(feature, input_lens_ratio)
 
@@ -246,16 +252,30 @@ class AudioFeaturizer:
         # the reference config passes `sr`; normalise the key
         if "sr" not in method_args:
             method_args["sr"] = 16000
+        self.dither = (float(method_args.get("dither", 0.0))
+                       if feature_method == "Fbank" else 0.0)
         self.featurize = partial(compute_feature, feature_method=feature_method,
                                  **method_args)
         self._jit_featurize = jax.jit(self.featurize)
         self._jit_featurize_masked = jax.jit(
             lambda w, r: self.featurize(w, input_lens_ratio=r))
+        self._jit_featurize_rng = jax.jit(
+            lambda w, r, k: self.featurize(w, input_lens_ratio=r, rng=k))
 
-    def __call__(self, waveforms, input_lens_ratio=None):
+    def __call__(self, waveforms, input_lens_ratio=None, rng=None):
         waveforms = jnp.asarray(waveforms, dtype=jnp.float32)
         if waveforms.ndim == 1:
             waveforms = waveforms[None]
+        if self.dither > 0:
+            # fresh per-call dither noise, matching kaldi's non-deterministic
+            # dither when no explicit key is given
+            if rng is None:
+                rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31))
+            return self._jit_featurize_rng(
+                waveforms,
+                (jnp.ones((waveforms.shape[0],), jnp.float32)
+                 if input_lens_ratio is None
+                 else jnp.asarray(input_lens_ratio, jnp.float32)), rng)
         if input_lens_ratio is None:
             return self._jit_featurize(waveforms)
         return self._jit_featurize_masked(

@@ -88,8 +88,12 @@ class Predictor:
     # embedding core
     # ------------------------------------------------------------------
     def _embed_impl(self, waves, lens_ratio):
+        # fixed key -> deterministic inference when Fbank dither is on
+        rng_kw = ({"rng": jax.random.PRNGKey(0)}
+                  if getattr(self._audio_featurizer, "dither", 0.0) > 0
+                  else {})
         feats = self._audio_featurizer.featurize(
-            waves, input_lens_ratio=lens_ratio)
+            waves, input_lens_ratio=lens_ratio, **rng_kw)
         # lengths make the pooling statistics padding-invariant
         return self.model.apply(self.variables, feats, train=False,
                                 lengths=lens_ratio)
@@ -266,6 +270,11 @@ class Predictor:
     def register(self, audio_data, user_name: str, sample_rate=16000):
         """Add a voiceprint: writes ``audio_db/<user>/N.wav``, updates the
         pickle index + per-user mean (reference ``predict.py:285-322``)."""
+        if (not user_name or ".." in user_name
+                or any(c in user_name for c in ("/", "\\", "\x00"))):
+            # the name becomes a directory under audio_db — never let it
+            # traverse outside (serving front-ends pass client input here)
+            return False, f"invalid user name: {user_name!r}"
         seg = self._load_audio(audio_data, sample_rate)
         feature = self.predict(seg)
         self.audio_feature = (feature[None] if self.audio_feature is None

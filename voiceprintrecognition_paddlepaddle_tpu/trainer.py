@@ -77,11 +77,14 @@ class Trainer:
             print_arguments(configs=configs)
         self.configs = dict_to_object(configs)
         if isinstance(data_augment_configs, str):
-            with open(data_augment_configs, "r", encoding="utf-8") as f:
-                data_augment_configs = yaml.load(f.read(),
-                                                 Loader=yaml.FullLoader)
-            print_arguments(configs=data_augment_configs,
-                            title="augmentation configs")
+            if not data_augment_configs.strip():
+                data_augment_configs = None  # '' on the CLI = no augmentation
+            else:
+                with open(data_augment_configs, "r", encoding="utf-8") as f:
+                    data_augment_configs = yaml.load(f.read(),
+                                                     Loader=yaml.FullLoader)
+                print_arguments(configs=data_augment_configs,
+                                title="augmentation configs")
         self.data_augment_configs = dict_to_object(data_augment_configs or {})
         self.use_gpu = use_gpu
 
@@ -283,17 +286,20 @@ class Trainer:
                  if loss_name == "SubCenterLoss" else 1)
         use_remat = bool(self.configs.train_conf.get("enable_remat", False))
 
+        dither = getattr(self.audio_featurizer, "dither", 0.0)
+
         @partial(jax.jit, donate_argnums=(0,),
                  static_argnames=("from_waveforms",))
         def train_step(state, batch_data, lens_ratio, labels, margin, rng,
                        from_waveforms=True):
-            aug_rng, spec_rng = jax.random.split(jax.random.fold_in(
-                rng, state.step))
+            aug_rng, spec_rng, feat_rng = jax.random.split(jax.random.fold_in(
+                rng, state.step), 3)
             if from_waveforms:
                 if batch_data.dtype == jnp.int16:
                     batch_data = batch_data.astype(jnp.float32) / 32768.0
                 waves = augmenter(batch_data, aug_rng, valid_ratio=lens_ratio)
-                feats = featurize(waves, input_lens_ratio=lens_ratio)
+                feats = featurize(waves, input_lens_ratio=lens_ratio,
+                                  **({"rng": feat_rng} if dither > 0 else {}))
             else:
                 feats = batch_data
             feats = augmenter.augment_features(feats, spec_rng)
@@ -302,10 +308,10 @@ class Trainer:
                 variables = {"params": backbone_params,
                              "batch_stats": state.batch_stats["backbone"]}
                 # length-aware pooling also in training (short clips are
-                # zero-padded to the fixed crop length), matching eval
+                # zero-padded to the fixed crop length; precomputed-feature
+                # batches are bucket-padded) — both modes mask, matching eval
                 return model.apply(variables, feats, train=True,
-                                   lengths=(lens_ratio if from_waveforms
-                                            else None),
+                                   lengths=lens_ratio,
                                    mutable=["batch_stats"])
 
             if use_remat:
@@ -350,11 +356,15 @@ class Trainer:
     def _build_embed_fn(self):
         model = self.model
         featurize = self.audio_featurizer.featurize
+        dither = getattr(self.audio_featurizer, "dither", 0.0)
 
         @partial(jax.jit, static_argnames=("from_waveforms",))
         def embed(state, batch_data, lens_ratio, from_waveforms=True):
             if from_waveforms:
-                feats = featurize(batch_data, input_lens_ratio=lens_ratio)
+                # fixed key -> deterministic (reproducible) eval dither
+                feats = featurize(batch_data, input_lens_ratio=lens_ratio,
+                                  **({"rng": jax.random.PRNGKey(0)}
+                                     if dither > 0 else {}))
             else:
                 feats = batch_data
             variables = {"params": state.params["backbone"],

@@ -115,7 +115,17 @@ def load_checkpoint(configs, state, save_model_path, resume_model=None):
             with open(state_file, "r", encoding="utf-8") as f:
                 j = json.load(f)
             last_epoch = j.get("last_epoch", 0)
-            best_eer = j.get("eer") or 1.0
+            if j.get("eer") is not None:  # 0.0 is a valid (perfect) EER
+                best_eer = j["eer"]
+        # best-model tracking must restore the *best* EER seen, not the
+        # last epoch's: prefer the sibling best_model's recorded state
+        best_state = os.path.join(os.path.dirname(os.path.normpath(model_path)),
+                                  "best_model", "model.state")
+        if os.path.exists(best_state):
+            with open(best_state, "r", encoding="utf-8") as f:
+                bj = json.load(f)
+            if bj.get("eer") is not None:
+                best_eer = min(best_eer, bj["eer"])
         logger.info(f"resumed model + optimizer state: {model_path}")
     except Exception as e:
         if resume_model is not None:
