@@ -1,22 +1,23 @@
 """Benchmark: 16 kHz wav → on-device Fbank (Pallas) → CAM++ → 192-d
 embedding, utterances/sec on one chip (the BASELINE.json north-star
-metric).
+metric), plus the honest apples-to-apples *training* throughput
+(EcapaTdnn batch 64 fp32 — the exact configuration behind the reference's
+~440–480 data/sec GPU log, reference README.md:354-360).
 
 Methodology: ITERS iterations are chained *inside one jitted fori_loop*
-(each iteration's input depends on the previous output), so the timing is
-strictly device-serial — async dispatch, RPC pipelining, or runtime
-caching of identical executions cannot inflate it. Synchronisation is a
-host transfer of a scalar derived from the result (``block_until_ready``
-can be a no-op over tunneled TPU transports). Sanity bound: XLA cost
-analysis puts this program at 3.37 GFLOP and ~63 MB of HBM traffic per
-utterance — it is HBM-bandwidth-bound, so utt/s cannot exceed
-(HBM GB/s) / 0.063.
+(each iteration's input depends on the previous output / the optimizer
+state carries), so the timing is strictly device-serial — async dispatch,
+RPC pipelining, or runtime caching of identical executions cannot inflate
+it. Synchronisation is a host transfer of a scalar derived from the result
+(``block_until_ready`` can be a no-op over tunneled TPU transports).
+Sanity bound: XLA cost analysis puts the embed program at 3.37 GFLOP and
+~63 MB of HBM traffic per utterance — it is HBM-bandwidth-bound, so utt/s
+cannot exceed (HBM GB/s) / 0.063.
 
-Baseline: the reference logs ~440–480 data/sec for GPU *training*
-(reference README.md:354-360); no published inference number exists, so
-``vs_baseline`` is value / 480.
-
-Prints one JSON line.
+Prints one JSON line. The primary metric stays the inference north star
+(vs_baseline = value / 480, the reference's only throughput number); the
+``train_*`` fields are the direct training comparison at identical batch
+size and numerics.
 """
 
 import json
@@ -39,6 +40,81 @@ SECONDS = 3
 SR = 16000
 ITERS = 20
 BASELINE_UTT_PER_SEC = 480.0
+
+
+def train_throughput(model_name="EcapaTdnn", batch=64, amp=False,
+                     iters=ITERS):
+    """data/sec for the full train step (Fbank + backbone + classifier +
+    AAM + Adam), chained device-serial like the embed benchmark."""
+    import optax
+
+    from voiceprintrecognition_paddlepaddle_tpu.loss import AAMLoss
+    from voiceprintrecognition_paddlepaddle_tpu.models import MODELS
+    from voiceprintrecognition_paddlepaddle_tpu.models.fc import (
+        SpeakerIdentification)
+    from voiceprintrecognition_paddlepaddle_tpu.ops.features import (
+        compute_feature)
+
+    sr, seconds, n_mels, n_spk = SR, SECONDS, 80, 2796
+    dtype = jnp.bfloat16 if amp else None
+    model = MODELS[model_name](input_size=n_mels, embd_dim=192, dtype=dtype)
+    classifier = SpeakerIdentification(num_speakers=n_spk, dtype=dtype)
+    criterion = AAMLoss(margin=0.2, scale=32)
+    tx = optax.adam(1e-3)
+
+    rng = np.random.RandomState(0)
+    waves = jnp.asarray(rng.randn(batch, sr * seconds).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.randint(0, n_spk, size=batch))
+
+    def init_fn():
+        feats0 = compute_feature(waves[:2], "Fbank", sr=sr, n_mels=n_mels)
+        v = model.init(jax.random.PRNGKey(0), feats0, train=True)
+        c = classifier.init(jax.random.PRNGKey(1), jnp.zeros((2, 192)),
+                            train=False)
+        params = {"backbone": v["params"], "classifier": c["params"]}
+        stats = {"backbone": v.get("batch_stats", {}),
+                 "classifier": c.get("batch_stats", {})}
+        return params, stats, tx.init(params)
+
+    params, stats, opt_state = jax.jit(init_fn)()
+
+    def one_step(params, stats, opt_state):
+        feats = compute_feature(waves, "Fbank", sr=sr, n_mels=n_mels)
+
+        def loss_fn(p):
+            emb, mb = model.apply(
+                {"params": p["backbone"], "batch_stats": stats["backbone"]},
+                feats, train=True, mutable=["batch_stats"])
+            out, _ = classifier.apply(
+                {"params": p["classifier"],
+                 "batch_stats": stats["classifier"]},
+                emb.astype(jnp.float32), train=False,
+                mutable=["batch_stats"])
+            return criterion(out, labels, margin=jnp.float32(0.2)), \
+                mb["batch_stats"]
+
+        (loss, new_bstats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates),
+                {"backbone": new_bstats, "classifier": stats["classifier"]},
+                new_opt, loss)
+
+    @jax.jit
+    def run(params, stats, opt_state):
+        def body(i, carry):
+            params, stats, opt_state, _ = carry
+            return one_step(params, stats, opt_state)
+        return jax.lax.fori_loop(0, iters, body,
+                                 (params, stats, opt_state, jnp.float32(0)))
+
+    out = run(params, stats, opt_state)
+    float(np.asarray(out[3]))  # compile + warm
+    t0 = time.perf_counter()
+    out = run(*out[:3])
+    float(np.asarray(out[3]))  # host transfer = real sync
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 def main():
@@ -80,11 +156,20 @@ def main():
     elapsed = (time.perf_counter() - t0) / ITERS
 
     utt_per_sec = BATCH / elapsed
+
+    # honest training comparison: same model/batch/numerics as the
+    # reference's logged 440-480 data/sec (EcapaTdnn, batch 64, fp32)
+    train_dps = train_throughput("EcapaTdnn", batch=64, amp=False)
+
     print(json.dumps({
         "metric": "wav_to_campplus_embedding_throughput",
         "value": round(utt_per_sec, 2),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+        "train_metric": "ecapa_b64_fp32_train_throughput",
+        "train_value": round(train_dps, 2),
+        "train_unit": "data/s/chip",
+        "train_vs_baseline": round(train_dps / BASELINE_UTT_PER_SEC, 2),
     }))
 
 

@@ -15,12 +15,48 @@ per-host data), and rank-0-only side effects use
 ``local_rank == 0``.
 """
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["create_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch", "local_process_info"]
+           "shard_batch", "local_process_info",
+           "maybe_initialize_distributed"]
+
+_distributed_initialized = False
+
+
+def maybe_initialize_distributed():
+    """Multi-host bootstrap (reference launch path ``python -m
+    paddle.distributed.launch --gpus ... train.py``, README.md:229-231).
+
+    Reads the standard coordination env vars and calls
+    ``jax.distributed.initialize`` once, before any backend use:
+
+    - ``VPR_COORDINATOR``   — ``host:port`` of process 0
+    - ``VPR_NUM_PROCESSES`` — world size
+    - ``VPR_PROCESS_ID``    — this process's rank
+
+    On TPU pods launched by cluster tooling (GKE/Cloud TPU), the vars are
+    unnecessary — ``jax.distributed.initialize()`` auto-detects — so set
+    only ``VPR_AUTO_DISTRIBUTED=1`` there. Single-process runs (no env
+    vars) are untouched. ``tools/launch_multihost.py`` sets these for
+    local multi-process (CPU) simulation."""
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    coord = os.environ.get("VPR_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["VPR_NUM_PROCESSES"]),
+            process_id=int(os.environ["VPR_PROCESS_ID"]))
+        _distributed_initialized = True
+    elif os.environ.get("VPR_AUTO_DISTRIBUTED"):
+        jax.distributed.initialize()
+        _distributed_initialized = True
 
 
 def create_mesh(devices=None, axis_name="data"):

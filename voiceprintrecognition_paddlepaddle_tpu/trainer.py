@@ -71,6 +71,10 @@ class Trainer:
 
     def __init__(self, configs, use_gpu=True, data_augment_configs=None):
         select_platform(use_gpu)
+        # multi-host bootstrap (no-op unless VPR_COORDINATOR /
+        # VPR_AUTO_DISTRIBUTED is set); must precede first backend use
+        from .parallel import maybe_initialize_distributed
+        maybe_initialize_distributed()
         if isinstance(configs, str):
             with open(configs, "r", encoding="utf-8") as f:
                 configs = yaml.load(f.read(), Loader=yaml.FullLoader)
@@ -190,8 +194,11 @@ class Trainer:
 
     def __setup_model(self, input_size, is_train=False):
         # batch axis must divide evenly over the mesh; use the largest
-        # device count that divides the global train batch
-        n_dev = jax.device_count()
+        # device count that divides the global train batch.
+        # train_conf.num_devices caps the mesh (default: all devices)
+        n_dev = min(jax.device_count(),
+                    int(self.configs.train_conf.get("num_devices", 0))
+                    or jax.device_count())
         if is_train:
             bs = int(self.configs.dataset_conf.sampler.batch_size)
             while bs % n_dev:
