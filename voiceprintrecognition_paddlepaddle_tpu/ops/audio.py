@@ -217,34 +217,49 @@ class AudioSegment:
         return self
 
     # ------------------------------------------------------------------
-    # VAD (energy-based; replaces yeaudio's VAD used at
+    # VAD (replaces yeaudio's VAD used at
     # reference ``infer_utils/speaker_diarization.py:37``)
     # ------------------------------------------------------------------
     def vad(self, return_seconds=True, frame_ms=30, energy_offset_db=18.0,
-            min_speech_ms=210, max_silence_ms=300):
-        """Energy-threshold voice-activity detection.
+            min_speech_ms=210, max_silence_ms=300, method="spectral",
+            snr_trigger_db=2.5, snr_release_db=1.8, hangover_ms=240):
+        """Voice-activity detection.
 
-        Frames the signal at ``frame_ms``; a frame is speech when its RMS
-        exceeds (noise floor + ``energy_offset_db``), where the noise floor
-        is the 10th-percentile frame energy. Adjacent speech runs closer
-        than ``max_silence_ms`` are merged, runs shorter than
-        ``min_speech_ms`` dropped. Returns ``[{'start':, 'end':}, ...]``
-        in seconds (or samples if ``return_seconds=False``).
+        ``method='spectral'`` (default, WebRTC-grade): frames at
+        ``frame_ms``, computes per-frame power in six speech sub-bands
+        (80–250, 250–500, 500–1k, 1–2k, 2–3k, 3–4k Hz), tracks a per-band
+        noise floor with minimum statistics (sliding minimum + slow
+        exponential rise), and derives a weighted band-SNR decision
+        statistic. A hysteresis state machine triggers speech at
+        ``snr_trigger_db``, releases below ``snr_release_db`` only after
+        ``hangover_ms`` of low-SNR frames — the hangover bridges
+        intra-utterance gaps the way WebRTC's VAD does. Robust to
+        stationary and babble-like noise beds where a plain energy gate
+        over- or under-segments.
+
+        ``method='energy'``: the simple percentile-floor energy gate.
+
+        Common postprocess: adjacent speech runs closer than
+        ``max_silence_ms`` merge, runs shorter than ``min_speech_ms`` drop.
+        Returns ``[{'start':, 'end':}, ...]`` in seconds (or samples if
+        ``return_seconds=False``).
         """
         sr = self._sample_rate
         frame_len = max(1, int(sr * frame_ms / 1000))
         n_frames = len(self._samples) // frame_len
         if n_frames == 0:
             return []
-        frames = self._samples[:n_frames * frame_len].reshape(n_frames, frame_len)
-        energy = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
-        floor = np.percentile(energy, 10)
-        # speech-dominated audio can push the percentile floor up to the
-        # speech level; cap the threshold at peak-12 dB, and require an
-        # absolute minimum so silence never counts as speech
-        threshold = min(floor + energy_offset_db, energy.max() - 12.0)
-        threshold = max(threshold, -55.0)
-        speech = energy > threshold
+        frames = self._samples[:n_frames * frame_len].reshape(
+            n_frames, frame_len)
+
+        if method == "spectral":
+            speech = self._spectral_speech_mask(
+                frames, sr, frame_ms, snr_trigger_db, snr_release_db,
+                hangover_ms)
+        elif method == "energy":
+            speech = self._energy_speech_mask(frames, energy_offset_db)
+        else:
+            raise ValueError(f"unknown VAD method {method!r}")
         if not speech.any():
             return []
 
@@ -279,6 +294,84 @@ class AudioSegment:
             else:
                 results.append({"start": a, "end": b})
         return results
+
+    @staticmethod
+    def _energy_speech_mask(frames, energy_offset_db):
+        """Percentile-floor energy gate (the round-1 VAD)."""
+        energy = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
+        floor = np.percentile(energy, 10)
+        # speech-dominated audio can push the percentile floor up to the
+        # speech level; cap the threshold at peak-12 dB, and require an
+        # absolute minimum so silence never counts as speech
+        threshold = min(floor + energy_offset_db, energy.max() - 12.0)
+        threshold = max(threshold, -55.0)
+        return energy > threshold
+
+    @staticmethod
+    def _spectral_speech_mask(frames, sr, frame_ms, trigger_db, release_db,
+                              hangover_ms):
+        from scipy.ndimage import percentile_filter, uniform_filter1d
+
+        n_frames, frame_len = frames.shape
+        win = np.hanning(frame_len).astype(np.float32)
+        spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2  # (T, bins)
+        freqs = np.fft.rfftfreq(frame_len, 1.0 / sr)
+
+        bands = [(80, 250), (250, 500), (500, 1000),
+                 (1000, 2000), (2000, 3000), (3000, 4000)]
+        # voiced energy concentrates low; weight like WebRTC's band gains
+        weights = np.array([1.0, 1.0, 1.0, 0.8, 0.6, 0.5])
+        band_pow = np.stack(
+            [spec[:, (freqs >= lo) & (freqs < hi)].sum(axis=1)
+             for lo, hi in bands], axis=1) + 1e-12            # (T, 6)
+        log_p = 10.0 * np.log10(band_pow)
+
+        # per-band noise floor: 20th-percentile over a sliding ~2 s window
+        # (robust to level wander; a pure minimum underestimates modulated
+        # noise beds and never releases). Capped at the global 10th
+        # percentile + 6 dB so sustained speech cannot push its own floor
+        # up to speech level (the speech-dominated-audio failure mode).
+        win_frames = max(3, int(2000 / frame_ms)) | 1
+        noise = percentile_filter(log_p, 20, size=(win_frames, 1))
+        noise = np.minimum(noise,
+                           np.percentile(log_p, 10, axis=0) + 6.0)
+
+        snr = np.maximum(log_p - noise, 0.0)                  # (T, 6) dB
+        stat = (snr * weights).sum(axis=1) / weights.sum()    # weighted dB
+        # speech is sustained: a ~200 ms average separates utterances from
+        # noise-bed flicker that instantaneous frames cannot
+        stat = uniform_filter1d(stat, size=max(1, int(210 / frame_ms)))
+
+        # absolute floor: silence (even digitally clean) is never speech
+        abs_energy = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
+        audible = abs_energy > -55.0
+
+        # hysteresis + hangover state machine
+        hang = max(1, int(hangover_ms / frame_ms))
+        speech = np.zeros(n_frames, dtype=bool)
+        in_speech = False
+        low = 0
+        for t in range(n_frames):
+            if not in_speech:
+                if stat[t] >= trigger_db and audible[t]:
+                    in_speech = True
+                    low = 0
+            else:
+                if stat[t] < release_db or not audible[t]:
+                    low += 1
+                    if low > hang:
+                        in_speech = False
+                else:
+                    low = 0
+            speech[t] = in_speech and audible[t]
+
+        # wall-to-wall audio (no quiet stretch to anchor the noise floor):
+        # when almost nothing triggered yet most frames carry energy,
+        # treat the audible frames as speech — matching the permissive
+        # behaviour of yeaudio's VAD on continuous speech
+        if speech.mean() < 0.1 and audible.mean() > 0.5:
+            return audible
+        return speech
 
     # ------------------------------------------------------------------
     # serialization
