@@ -1,0 +1,85 @@
+"""Whole-trunk Pallas CAM++ kernel vs the XLA path (interpret mode on CPU;
+the same comparison runs on device in tools/ benchmarks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voiceprintrecognition_paddlepaddle_tpu.models import CAMPPlus
+from voiceprintrecognition_paddlepaddle_tpu.models.campplus import FCM
+from voiceprintrecognition_paddlepaddle_tpu.models.pallas_campplus import (
+    campplus_embed_pallas, trunk_plan, trunk_stats_pallas)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = CAMPPlus(input_size=80, embd_dim=192)
+    feats = jnp.zeros((2, 298, 80), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    return model, variables
+
+
+def _cos(a, b):
+    return float(np.min((a * b).sum(-1)
+                        / (np.linalg.norm(a, axis=-1)
+                           * np.linalg.norm(b, axis=-1))))
+
+
+def test_plan_shapes():
+    plan = trunk_plan()
+    assert plan["n_layers"] == 52
+    assert plan["lin1_rows"] == sum(l["cin"] for l in plan["layers"])
+    assert plan["final_channels"] == 512
+    assert [b["c_out"] for b in plan["blocks"]] == [512, 1024, 1024]
+
+
+def test_trunk_kernel_matches_xla(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(4, 298, 80).astype(np.float32))
+    ref = np.asarray(model.apply(variables, feats, train=False))
+    got = np.asarray(campplus_embed_pallas(model, variables, feats,
+                                           interpret=True))
+    assert got.shape == ref.shape
+    assert _cos(ref, got) > 0.9999
+    assert np.abs(ref - got).max() < 5e-3
+
+
+def test_trunk_kernel_short_clip_single_segment(model_and_vars):
+    """1.5 s diarization chunks: stem T=74 < seg_len -> one segment."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(3, 148, 80).astype(np.float32))
+    ref = np.asarray(model.apply(variables, feats, train=False))
+    got = np.asarray(campplus_embed_pallas(model, variables, feats,
+                                           interpret=True))
+    assert _cos(ref, got) > 0.9999
+
+
+def test_trunk_kernel_batch_padding(model_and_vars):
+    """Batch not divisible by the utterances-per-step tile."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(5, 298, 80).astype(np.float32))
+    ref = np.asarray(model.apply(variables, feats, train=False))
+    got = np.asarray(campplus_embed_pallas(model, variables, feats,
+                                           interpret=True))
+    assert got.shape == (5, 192)
+    assert _cos(ref, got) > 0.9999
+
+
+def test_trunk_stats_match_xla_stats(model_and_vars):
+    """The kernel's pooled stats equal FCM→trunk→stats on the XLA side."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(2, 298, 80).astype(np.float32))
+    fcm = FCM()
+    fcm_out = fcm.apply({"params": variables["params"]["FCM_0"],
+                         "batch_stats": variables["batch_stats"]["FCM_0"]},
+                        feats, train=False)
+    stats = np.asarray(trunk_stats_pallas(variables, fcm_out,
+                                          interpret=True))
+    assert stats.shape == (2, 1024)
+    assert np.isfinite(stats).all()
+    assert (stats[:, 512:] >= 0).all()  # std half non-negative

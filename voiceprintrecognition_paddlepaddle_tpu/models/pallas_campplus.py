@@ -1,0 +1,460 @@
+"""Pallas TPU kernel: the whole CAM++ x-vector trunk in one kernel.
+
+The round-1 profile showed CAM++ inference HBM-bandwidth-bound, with the
+dense trunk (52 CAM layers + transits, reference
+``ppvector/models/campplus.py:284-335``) accounting for ~41%% of the step
+and ~49 MB/utt of HBM traffic: XLA materialises every dense-block concat
+and CAM gate to HBM. Here the ENTIRE trunk — stem TDNN, three dense blocks
+with context-aware masking, transit layers, out-nonlinearity and stats
+pooling — runs inside one ``pallas_call``: all trunk weights (~12 MB bf16)
+stay resident in VMEM across the batch grid (constant ``index_map`` blocks
+are fetched once), activations never leave VMEM, and HBM traffic collapses
+to (FCM output in) + (pooled stats out) + weights-once.
+
+Key layout decisions (TPU-first, not a translation):
+
+- activations are a single 2-D ``(U*T_pad, C)`` tile per grid step —
+  ``U`` utterances stacked with ``T_pad - T ≥ 2`` zero guard rows, so the
+  dilated-conv row shifts can never leak across utterances while every
+  matmul sees MXU-friendly row counts;
+- the stride-2 stem runs as five shifted 1x1 matmuls over even/odd
+  pre-split inputs (stride-2 gathers are hostile to the vector unit;
+  row shifts of matmul outputs are free);
+- k=3 dilated CAM convs are three 1x1 matmuls combined by row shifts;
+- BatchNorms are folded to per-channel affines (inference);
+- the CAM context (global mean + 100-frame segment pooling) is computed
+  with one small pooling matmul ``P @ x`` and scattered back with a 0/1
+  selection matmul ``S @ gate`` — piecewise-constant context never
+  materialises at full time resolution;
+- per-layer weight tensors are packed into a handful of large, tile-
+  aligned arrays sliced at static offsets (the 52-layer Python loop is
+  unrolled at trace time).
+
+Numerics are tested against the XLA path in interpret mode (CPU) and on
+device; see ``tests/test_pallas_campplus.py``.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pack_trunk", "trunk_stats_pallas", "campplus_embed_pallas",
+           "trunk_plan"]
+
+SEG_LEN = 100  # reference campplus.py:96 seg_pooling window
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# static plan
+# ---------------------------------------------------------------------------
+def trunk_plan(init_channels=128, growth_rate=32, bn_size=4,
+               num_layers=(12, 24, 16), dilations=(1, 2, 2)):
+    """Static offsets for the packed weight arrays."""
+    layers = []
+    lin1_off = 0
+    c = init_channels
+    for b, (n, dil) in enumerate(zip(num_layers, dilations)):
+        for li in range(n):
+            cin = c + li * growth_rate
+            layers.append(dict(block=b, li=li, cin=cin, dil=dil,
+                               lin1_off=lin1_off))
+            lin1_off += cin
+        c = (c + n * growth_rate) // 2  # transit halving
+    plan = dict(layers=layers, lin1_rows=lin1_off,
+                n_layers=len(layers), bn_ch=bn_size * growth_rate,
+                growth=growth_rate, init_channels=init_channels,
+                num_layers=tuple(num_layers), dilations=tuple(dilations),
+                final_channels=c)
+    # block boundary channel counts
+    c = init_channels
+    blocks = []
+    for n in num_layers:
+        cout = c + n * growth_rate
+        blocks.append(dict(c_in=c, c_out=cout, c_transit=cout // 2))
+        c = cout // 2
+    plan["blocks"] = blocks
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# weight packing (pure jax; jit-fused with the caller)
+# ---------------------------------------------------------------------------
+def _bn_affine(p, s, eps=1e-5):
+    a = p["scale"] / jnp.sqrt(s["var"] + eps)
+    return a.astype(jnp.float32), (p["bias"] - s["mean"] * a).astype(jnp.float32)
+
+
+def pack_trunk(variables, plan=None, compute_dtype=jnp.bfloat16):
+    """CAM++ flax variables -> packed trunk arrays for the kernel."""
+    if plan is None:
+        plan = trunk_plan()
+    params, stats = variables["params"], variables["batch_stats"]
+    growth, bn_ch = plan["growth"], plan["bn_ch"]
+    L = plan["n_layers"]
+    wide_w = 1024  # fits the deepest concat (992) and 1024-ch transits
+
+    # stem: TDNNLayer_0 (k=5, stride 2)
+    k_stem = params["TDNNLayer_0"]["Conv_0"]["kernel"]          # (5, 320, 128)
+    w_stem = k_stem.reshape(-1, k_stem.shape[-1]).astype(compute_dtype)
+    a_stem, b_stem = _bn_affine(
+        params["TDNNLayer_0"]["_NonLinear_0"]["BatchNorm_0"],
+        stats["TDNNLayer_0"]["_NonLinear_0"]["BatchNorm_0"])
+
+    w_lin1 = jnp.zeros((plan["lin1_rows"], bn_ch), compute_dtype)
+    w_localT = jnp.zeros((L * 3 * growth, bn_ch), compute_dtype)
+    w_cam1T = jnp.zeros((L * (bn_ch // 2), bn_ch), compute_dtype)
+    w_cam2T = jnp.zeros((L * growth, bn_ch // 2), compute_dtype)
+    wide_a = jnp.zeros((L + 4, wide_w), jnp.float32)
+    wide_b = jnp.zeros((L + 4, wide_w), jnp.float32)
+    tbias = jnp.zeros((4, wide_w), jnp.float32)   # 3 transit conv biases
+    narrow = jnp.zeros((3 * L + 3, bn_ch), jnp.float32)
+    cam_bias = jnp.zeros((L, 128), jnp.float32)
+
+    narrow = narrow.at[3 * L + 0].set(params["TDNNLayer_0"]["Conv_0"]["bias"])
+    narrow = narrow.at[3 * L + 1].set(a_stem)
+    narrow = narrow.at[3 * L + 2].set(b_stem)
+
+    l = 0
+    for b in range(len(plan["num_layers"])):
+        blk_p = params[f"CAMDenseTDNNBlock_{b}"]
+        blk_s = stats[f"CAMDenseTDNNBlock_{b}"]
+        for li in range(plan["num_layers"][b]):
+            lp, ls = (blk_p[f"CAMDenseTDNNLayer_{li}"],
+                      blk_s[f"CAMDenseTDNNLayer_{li}"])
+            spec = plan["layers"][l]
+            cin, off = spec["cin"], spec["lin1_off"]
+            a1, b1 = _bn_affine(lp["_NonLinear_0"]["BatchNorm_0"],
+                                ls["_NonLinear_0"]["BatchNorm_0"])
+            wide_a = wide_a.at[l, :cin].set(a1)
+            wide_b = wide_b.at[l, :cin].set(b1)
+            w = lp["Conv_0"]["kernel"][0]                       # (cin, bn)
+            w_lin1 = w_lin1.at[off:off + cin].set(w.astype(compute_dtype))
+            narrow = narrow.at[l].set(lp["Conv_0"]["bias"])
+            a2, b2 = _bn_affine(lp["_NonLinear_1"]["BatchNorm_0"],
+                                ls["_NonLinear_1"]["BatchNorm_0"])
+            narrow = narrow.at[L + l].set(a2)
+            narrow = narrow.at[2 * L + l].set(b2)
+            cam = lp["CAMLayer_0"]
+            wl = cam["Conv_0"]["kernel"]                        # (3, bn, g)
+            for k in range(3):
+                rows = slice((l * 3 + k) * growth, (l * 3 + k + 1) * growth)
+                w_localT = w_localT.at[rows].set(
+                    wl[k].T.astype(compute_dtype))
+            w1 = cam["Conv_1"]["kernel"][0]                     # (bn, bn/2)
+            w_cam1T = w_cam1T.at[l * (bn_ch // 2):(l + 1) * (bn_ch // 2)].set(
+                w1.T.astype(compute_dtype))
+            w2 = cam["Conv_2"]["kernel"][0]                     # (bn/2, g)
+            w_cam2T = w_cam2T.at[l * growth:(l + 1) * growth].set(
+                w2.T.astype(compute_dtype))
+            cb = jnp.zeros((128,), jnp.float32)
+            cb = cb.at[:growth].set(cam["Conv_0"]["bias"])
+            cb = cb.at[growth:2 * growth].set(cam["Conv_2"]["bias"])
+            cb = cb.at[2 * growth:2 * growth + bn_ch // 2].set(
+                cam["Conv_1"]["bias"])
+            cam_bias = cam_bias.at[l].set(cb)
+            l += 1
+        # transit b (top-level _NonLinear_b + Conv_b)
+        at, bt = _bn_affine(params[f"_NonLinear_{b}"]["BatchNorm_0"],
+                            stats[f"_NonLinear_{b}"]["BatchNorm_0"])
+        cw = plan["blocks"][b]["c_out"]
+        wide_a = wide_a.at[L + b, :cw].set(at)
+        wide_b = wide_b.at[L + b, :cw].set(bt)
+        tbias = tbias.at[b, :cw // 2].set(params[f"Conv_{b}"]["bias"])
+
+    nb = len(plan["num_layers"])
+    a_o, b_o = _bn_affine(params[f"_NonLinear_{nb}"]["BatchNorm_0"],
+                          stats[f"_NonLinear_{nb}"]["BatchNorm_0"])
+    cf = plan["final_channels"]
+    wide_a = wide_a.at[L + 3, :cf].set(a_o)
+    wide_b = wide_b.at[L + 3, :cf].set(b_o)
+
+    transits = tuple(
+        params[f"Conv_{b}"]["kernel"][0].astype(compute_dtype)
+        for b in range(nb))
+    return dict(w_stem=w_stem, w_lin1=w_lin1, w_localT=w_localT,
+                w_cam1T=w_cam1T, w_cam2T=w_cam2T, transits=transits,
+                wide_a=wide_a, wide_b=wide_b, tbias=tbias, narrow=narrow,
+                cam_bias=cam_bias)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+def _shift_down(x, s):
+    """y[t] = x[t-s] (zeros enter at the top)."""
+    return jnp.concatenate([jnp.zeros((s, x.shape[1]), x.dtype), x[:-s]])
+
+
+def _shift_up(x, s):
+    return jnp.concatenate([x[s:], jnp.zeros((s, x.shape[1]), x.dtype)])
+
+
+def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
+            w_cam1T_ref, w_cam2T_ref, w_t0_ref, w_t1_ref, w_t2_ref,
+            wide_a_ref, wide_b_ref, tbias_ref, narrow_ref, cam_bias_ref,
+            pt_ref, msel_ref, ssel_ref, out_ref, xcat_ref, *, plan, u,
+            t_valid, t_pad, n_segs, compute_dtype):
+    f32 = jnp.float32
+    growth, bn_ch = plan["growth"], plan["bn_ch"]
+    L = plan["n_layers"]
+    rows = u * t_pad
+
+    def dotT(x, wt):
+        """x (R, K) contracted with wt (N, K) -> (R, N)."""
+        return jax.lax.dot_general(
+            x, wt[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    # validity mask: row r is frame (r % t_pad), valid when < t_valid
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    mask = ((rid % t_pad) < t_valid).astype(f32)
+
+    # ---- stem: k5 s2 conv as five shifted matmuls over even/odd rows ----
+    nb = narrow_ref[:]
+    taps = []
+    for k, (src, shift) in enumerate(((xe_ref, 1), (xo_ref, 1),
+                                      (xe_ref, 0), (xo_ref, 0),
+                                      (xe_ref, -1))):
+        w = w_stem_ref[k * 320:(k + 1) * 320, :]
+        a = jnp.dot(src[:], w, preferred_element_type=f32)
+        if shift == 1:
+            a = _shift_down(a, 1)
+        elif shift == -1:
+            a = _shift_up(a, 1)
+        taps.append(a)
+    y = taps[0] + taps[1] + taps[2] + taps[3] + taps[4]
+    y = y + nb[3 * L:3 * L + 1, :]
+    y = jnp.maximum(y * nb[3 * L + 1:3 * L + 2, :]
+                    + nb[3 * L + 2:3 * L + 3, :], 0.0)
+    y = (y * mask).astype(compute_dtype)
+
+    # x_cat lives in a VMEM scratch ref; slices are written in place
+    xcat_ref[:, :plan["init_channels"]] = y
+
+    wide_a, wide_b = wide_a_ref[:], wide_b_ref[:]
+    pt = pt_ref[:]          # (P_pad, rows) pooling weights
+    msel = msel_ref[:]      # (G_pad, P_pad) mean+seg combiner
+    ssel = ssel_ref[:]      # (rows, G_pad) gate scatter
+
+    l = 0
+    for b, (n, dil) in enumerate(zip(plan["num_layers"], plan["dilations"])):
+        for li in range(n):
+            spec = plan["layers"][l]
+            cin, off = spec["cin"], spec["lin1_off"]
+            xin = xcat_ref[:, :cin].astype(f32)
+            h = jnp.maximum(xin * wide_a[l:l + 1, :cin]
+                            + wide_b[l:l + 1, :cin], 0.0)
+            h = (h * mask).astype(compute_dtype)
+            h1 = jnp.dot(h, w_lin1_ref[off:off + cin, :],
+                         preferred_element_type=f32)
+            h1 = h1 + nb[l:l + 1, :]
+            x2 = jnp.maximum(h1 * nb[L + l:L + l + 1, :]
+                             + nb[2 * L + l:2 * L + l + 1, :], 0.0)
+            x2 = (x2 * mask).astype(compute_dtype)
+
+            # local k3 dilated conv: three matmuls + row shifts
+            a0 = dotT(x2, w_localT_ref[(l * 3) * growth:(l * 3 + 1) * growth])
+            a1 = dotT(x2, w_localT_ref[(l * 3 + 1) * growth:
+                                       (l * 3 + 2) * growth])
+            a2 = dotT(x2, w_localT_ref[(l * 3 + 2) * growth:
+                                       (l * 3 + 3) * growth])
+            y = _shift_down(a0, dil) + a1 + _shift_up(a2, dil)
+            y = y + cam_bias_ref[l:l + 1, :growth]
+
+            # context: pooled means/segments -> tiny gate matmuls
+            pooled = jnp.dot(pt, x2.astype(f32),
+                             preferred_element_type=f32)     # (P_pad, bn)
+            ctx = jnp.dot(msel, pooled,
+                          preferred_element_type=f32)        # (G_pad, bn)
+            c1 = dotT(ctx.astype(compute_dtype),
+                      w_cam1T_ref[l * (bn_ch // 2):(l + 1) * (bn_ch // 2)])
+            c1 = jnp.maximum(
+                c1 + cam_bias_ref[l:l + 1,
+                                  2 * growth:2 * growth + bn_ch // 2], 0.0)
+            g = dotT(c1.astype(compute_dtype),
+                     w_cam2T_ref[l * growth:(l + 1) * growth])
+            g = jax.nn.sigmoid(
+                g + cam_bias_ref[l:l + 1, growth:2 * growth])
+            gate = jnp.dot(ssel, g.astype(compute_dtype),
+                           preferred_element_type=f32)       # (rows, g)
+
+            out = (y * gate * mask).astype(compute_dtype)
+            c0 = plan["blocks"][b]["c_in"]
+            xcat_ref[:, c0 + li * growth:c0 + (li + 1) * growth] = out
+            l += 1
+
+        # transit: BN+ReLU then 1x1 conv halving channels
+        cw = plan["blocks"][b]["c_out"]
+        xin = xcat_ref[:, :cw].astype(f32)
+        h = jnp.maximum(xin * wide_a[L + b:L + b + 1, :cw]
+                        + wide_b[L + b:L + b + 1, :cw], 0.0)
+        h = (h * mask).astype(compute_dtype)
+        w_t = (w_t0_ref, w_t1_ref, w_t2_ref)[b]
+        ht = jnp.dot(h, w_t[:], preferred_element_type=f32)
+        ht = ht + tbias_ref[b:b + 1, :cw // 2]
+        xcat_ref[:, :cw // 2] = (ht * mask).astype(compute_dtype)
+
+    # out nonlinearity + stats pooling (mean ‖ unbiased std)
+    cf = plan["final_channels"]
+    x = xcat_ref[:, :cf].astype(f32)
+    x = jnp.maximum(x * wide_a[L + 3:L + 4, :cf]
+                    + wide_b[L + 3:L + 4, :cf], 0.0) * mask
+    mean = jnp.dot(pt[:u], x, preferred_element_type=f32)     # rows 0..u-1
+    meansq = jnp.dot(pt[:u], x * x, preferred_element_type=f32)
+    var = (meansq - mean * mean) * (t_valid / max(t_valid - 1, 1))
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    out_ref[:, :cf] = mean
+    out_ref[:, cf:] = std
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("plan_key", "interpret"))
+def _trunk_call(packed, xe, xo, pt, msel, ssel, *, plan_key, interpret):
+    (t_valid, t_pad, u, n_segs) = plan_key
+    plan = trunk_plan()
+    rows = u * t_pad
+    grid = (xe.shape[0] // rows,)
+    cf = plan["final_channels"]
+
+    kernel = functools.partial(
+        _kernel, plan=plan, u=u, t_valid=t_valid, t_pad=t_pad,
+        n_segs=n_segs, compute_dtype=jnp.bfloat16)
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 320), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 320), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const(*packed["w_stem"].shape),
+            const(*packed["w_lin1"].shape),
+            const(*packed["w_localT"].shape),
+            const(*packed["w_cam1T"].shape),
+            const(*packed["w_cam2T"].shape),
+            const(*packed["transits"][0].shape),
+            const(*packed["transits"][1].shape),
+            const(*packed["transits"][2].shape),
+            const(*packed["wide_a"].shape),
+            const(*packed["wide_b"].shape),
+            const(*packed["tbias"].shape),
+            const(*packed["narrow"].shape),
+            const(*packed["cam_bias"].shape),
+            const(*pt.shape),
+            const(*msel.shape),
+            const(*ssel.shape),
+        ],
+        out_specs=pl.BlockSpec((u, 2 * cf), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xe.shape[0] // t_pad, 2 * cf),
+                                       jnp.float32),
+        interpret=interpret,
+        scratch_shapes=[pltpu.VMEM((rows, 1024), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xe, xo, packed["w_stem"], packed["w_lin1"], packed["w_localT"],
+      packed["w_cam1T"], packed["w_cam2T"], *packed["transits"],
+      packed["wide_a"], packed["wide_b"], packed["tbias"], packed["narrow"],
+      packed["cam_bias"], pt, msel, ssel)
+    return out
+
+
+def _pool_matrices(u, t_valid, t_pad, n_segs):
+    """Constant pooling / combiner / scatter matrices (numpy)."""
+    rows = u * t_pad
+    p = u * (1 + n_segs)
+    p_pad = _round_up(p, 8)
+    g = u * n_segs
+    g_pad = _round_up(g, 8)
+
+    pt = np.zeros((p_pad, rows), np.float32)
+    msel = np.zeros((g_pad, p_pad), np.float32)
+    ssel = np.zeros((rows, g_pad), np.float32)
+    for uu in range(u):
+        base = uu * t_pad
+        pt[uu, base:base + t_valid] = 1.0 / t_valid          # mean row
+        for s in range(n_segs):
+            s0 = s * SEG_LEN
+            s1 = min((s + 1) * SEG_LEN, t_valid)
+            pt[u + uu * n_segs + s, base + s0:base + s1] = 1.0 / (s1 - s0)
+            gi = uu * n_segs + s
+            msel[gi, uu] = 1.0                               # + mean
+            msel[gi, u + uu * n_segs + s] = 1.0              # + segment
+            ssel[base + s0:base + s1, gi] = 1.0
+    return pt, msel, ssel.astype(np.float32)
+
+
+def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None):
+    """CAM++ trunk: FCM output ``(B, T_raw, 320)`` -> pooled stats
+    ``(B, 2*final_channels)`` (mean ‖ std), all inside one Pallas kernel.
+
+    Exact-length inputs only (no per-utterance padding); the bucketed /
+    masked eval path stays on XLA.
+    """
+    plan = trunk_plan()
+    packed = pack_trunk(variables, plan)
+    b, t_raw, c_in = fcm_out.shape
+    assert c_in == 320, c_in
+    t_valid = (t_raw + 2 * 2 - 5) // 2 + 1        # stem k5 s2 pad 2
+    t_pad = _round_up(t_valid + 2, 32)
+    if u is None:
+        u = max(1, min(8, 2048 // t_pad))
+    n_segs = max(1, math.ceil(t_valid / SEG_LEN))
+
+    b_pad = _round_up(b, u)
+    if b_pad != b:
+        fcm_out = jnp.concatenate(
+            [fcm_out, jnp.zeros((b_pad - b, t_raw, c_in), fcm_out.dtype)])
+
+    # pre-split even/odd frames for the stride-2 stem, pad T to t_pad
+    dtype = jnp.bfloat16
+    xe = fcm_out[:, 0::2][:, :t_valid].astype(dtype)
+    xo = fcm_out[:, 1::2][:, :t_valid].astype(dtype)
+    # xo may have t_valid-1 rows when t_raw is even
+    if xo.shape[1] < t_valid:
+        xo = jnp.concatenate(
+            [xo, jnp.zeros((b_pad, t_valid - xo.shape[1], c_in), dtype)], 1)
+    pad_t = t_pad - t_valid
+    xe = jnp.pad(xe, ((0, 0), (0, pad_t), (0, 0))).reshape(-1, c_in)
+    xo = jnp.pad(xo, ((0, 0), (0, pad_t), (0, 0))).reshape(-1, c_in)
+
+    pt, msel, ssel = (jnp.asarray(m) for m in
+                      _pool_matrices(u, t_valid, t_pad, n_segs))
+    out = _trunk_call(packed, xe, xo, pt, msel, ssel,
+                      plan_key=(t_valid, t_pad, u, n_segs),
+                      interpret=interpret)
+    return out[:b]
+
+
+def campplus_embed_pallas(model, variables, feats, interpret=False):
+    """Full CAM++ forward with the Pallas trunk: features ``(B, T, F)`` ->
+    embeddings ``(B, embd_dim)``. FCM and the final DenseBN stay on XLA
+    (2-D convs XLA already handles; the head is tiny)."""
+    from .campplus import FCM
+    from .layers import DenseBN
+
+    fcm = FCM(dtype=model.dtype)
+    fcm_out = fcm.apply(
+        {"params": variables["params"]["FCM_0"],
+         "batch_stats": variables["batch_stats"]["FCM_0"]},
+        feats, train=False)
+    stats = trunk_stats_pallas(variables, fcm_out, interpret=interpret)
+    head = DenseBN(model.embd_dim, config_str="batchnorm_", dtype=model.dtype)
+    return head.apply(
+        {"params": variables["params"]["DenseBN_0"],
+         "batch_stats": variables["batch_stats"]["DenseBN_0"]},
+        stats.astype(fcm_out.dtype), train=False)
