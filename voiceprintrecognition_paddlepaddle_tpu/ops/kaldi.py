@@ -121,12 +121,27 @@ def kaldi_mel_banks(n_mels, n_fft, sample_rate, low_freq=20.0, high_freq=0.0):
 
 
 def frame_signal(waveforms, frame_len: int, frame_shift: int):
-    """Strided framing: ``(B, L) -> (B, T, frame_len)`` with snip_edges."""
+    """Strided framing: ``(B, L) -> (B, T, frame_len)`` with snip_edges.
+
+    Built from whole-row slices of a ``(.., T+q, shift)`` reshape rather
+    than a scalar gather: frame ``t`` is the concatenation of rows
+    ``t..t+q-1`` plus the first ``r`` columns of row ``t+q`` where
+    ``frame_len = q*shift + r``. Slice+concat lowers to plain copies on
+    TPU (the element gather was ~4x slower than the DFT it feeds).
+    """
     num_samples = waveforms.shape[-1]
     t = num_frames_snip_edges(num_samples, frame_len, frame_shift)
-    starts = np.arange(t) * frame_shift
-    idx = starts[:, None] + np.arange(frame_len)[None, :]
-    return waveforms[..., idx]
+    q, r = divmod(frame_len, frame_shift)
+    need = (t + q) * frame_shift
+    w = waveforms[..., :min(num_samples, need)]
+    if need > w.shape[-1]:
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, need - w.shape[-1])]
+        w = jnp.pad(jnp.asarray(w), pad)
+    rows = jnp.asarray(w).reshape(*w.shape[:-1], t + q, frame_shift)
+    pieces = [rows[..., j:j + t, :] for j in range(q)]
+    if r:
+        pieces.append(rows[..., q:q + t, :r])
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def fbank(waveforms,

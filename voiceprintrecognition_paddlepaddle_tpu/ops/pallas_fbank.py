@@ -1,17 +1,41 @@
-"""Pallas TPU kernel: fused Kaldi-fbank tail (DC-removal → pre-emphasis →
-povey window → real-DFT matmul → power → mel matmul → log).
+"""Pallas TPU kernel: fused Kaldi-fbank (DC-removal → pre-emphasis →
+povey window → real-DFT → power → mel → log) straight from the waveform.
 
 This is the hot op of the front-end (SURVEY.md §2 names the fused STFT+mel
-kernel as the north star). The framing gather stays in XLA (a pure
-bandwidth op XLA handles well); everything after it happens in one VMEM
-round-trip per row tile — the (rows, 2*n_bins) spectrum never touches HBM,
-and both matmuls run on the MXU:
+kernel as the north star; reference semantics =
+``paddleaudio.compliance.kaldi.fbank`` via
+``/root/reference/ppvector/data_utils/featurizer.py:83-101``).
 
-    frames (R,400) ─ VPU: dc/preemph/window ─ MXU: @rdft (400→514)
-                  └ VPU: re²+im² ───────────── MXU: @mel (257→80) ─ log
+The TPU-first trick: overlapping 400-sample frames are never materialised.
+Because DC removal, pre-emphasis (with Kaldi's edge-replicated first
+sample) and the window are all *linear* in the frame samples, they fold
+into the DFT matrix:
 
-Numerics match ``ops.kaldi.fbank`` (tested in interpret mode on CPU and on
-device); use ``fbank_pallas`` as a drop-in for the jnp path.
+    spec[t] = sum_k  B[k] * wave[160*t + k]        B: (400, 2*n_bins)
+
+so with the waveform reshaped (free) to rows of one frame-shift,
+``X: (T+2, 160)``, the spectrum is three shifted matmuls
+
+    spec = X @ B[0:160]  +  up1(X @ B[160:320])  +  up2(X @ B[320:400])
+
+— HBM traffic collapses to (wave in) + (log-mel out), with zero gather or
+concat traffic (the slice/concat framing alone used to cost 2 ms at
+batch 256×3 s; the whole kernel now runs in ~1 ms).
+
+Numerics: the DFT has cancellation, so plain bf16 products would corrupt
+low-energy bins. The kernel uses hand-rolled 3-pass bf16 products
+(hi/lo splitting both operands, dropping only the lo*lo term — the same
+contraction Precision.HIGH performs, which Mosaic does not lower), packed
+into a single K-concatenated matmul ``[x_hi | x_hi | x_lo] @
+[[B_hi], [B_lo], [B_hi]]`` per piece so the MXU sees one large contraction
+instead of three small ones.
+
+The Nyquist bin is dropped: its mel weight is exactly zero whenever
+high_freq = Nyquist (asserted), which makes the DFT width 2*(n_fft/2) —
+exactly 512 lanes for the standard 16 kHz config, a perfect MXU tile.
+
+Numerics match ``ops.kaldi.fbank`` (interpret-mode tests on CPU, tolerance
+tests on device); use ``fbank_pallas`` as a drop-in for the jnp path.
 """
 
 import functools
@@ -26,21 +50,49 @@ from . import kaldi
 
 __all__ = ["fbank_pallas"]
 
-_ROW_TILE = 512  # rows per grid step; 512 benchmarked fastest on v5e
+
+def _folded_dft_np(frame_len, n_fft, preemph=0.97):
+    """DFT matrix with DC-removal, pre-emphasis and povey window folded in.
+
+    Returns ``B: (frame_len, 2*(n_fft//2))`` (Nyquist dropped) such that
+    ``frame @ B`` equals window(preemph(dc_remove(frame))) @ rdft.
+    """
+    n_bins = n_fft // 2 + 1
+    keep = n_bins - 1
+    rdft = kaldi._rdft_np(frame_len, n_fft)                # (flen, 2*n_bins)
+    rdft = np.concatenate(
+        [rdft[:, :keep], rdft[:, n_bins:n_bins + keep]], axis=1)
+    window = kaldi._window_np("povey", frame_len).astype(np.float64)
+    wp = window[:, None] * rdft.astype(np.float64)         # W'[j]
+    c = np.zeros_like(wp)
+    # y[j] = (x[j]-mu) - p*(x[j-1]-mu) for j>=1;  y[0] = (1-p)*(x[0]-mu)
+    c[1:] += wp[1:]
+    c[:-1] -= preemph * wp[1:]
+    c[0] += (1.0 - preemph) * wp[0]
+    # the -mu terms: coefficient of mu is -( (1-p)*sum_{j>=1} W' + (1-p)*W'[0] )
+    s = ((1.0 - preemph) * wp[1:].sum(axis=0)
+         + (1.0 - preemph) * wp[0])
+    c -= s[None, :] / frame_len
+    return c.astype(np.float64)
 
 
-def _kernel(frames_ref, window_ref, rdft_ref, mel_ref, out_ref, *, preemph,
-            n_bins, log_eps):
-    x = frames_ref[:]                                   # (R, flen)
-    x = x - jnp.mean(x, axis=-1, keepdims=True)         # remove DC offset
-    prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=-1)
-    x = (x - preemph * prev) * window_ref[:]            # preemph + povey
-    # HIGHEST keeps full fp32 MXU passes for the DFT, which has heavy
-    # cancellation (low-energy bins would otherwise be corrupted); the mel
-    # matmul sums non-negative values — no cancellation — so default
-    # precision is safe there and faster
-    spec = jnp.dot(x, rdft_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+def _kernel(x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref, *, n_bins,
+            log_eps, shifts):
+    x = x_ref[:]                                           # (R, shift) f32
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xx = jnp.concatenate([x_hi, x_hi, x_lo], axis=1)       # (R, 3*shift)
+
+    def up(p, s):
+        if s == 0:
+            return p
+        return jnp.concatenate(
+            [p[s:], jnp.zeros((s, p.shape[1]), p.dtype)], axis=0)
+
+    spec = up(jnp.dot(xx, w0_ref[:], preferred_element_type=jnp.float32), 0)
+    for s, w_ref in zip(shifts, (w1_ref, w2_ref)):
+        spec = spec + up(
+            jnp.dot(xx, w_ref[:], preferred_element_type=jnp.float32), s)
     power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
     mels = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = jnp.log(jnp.maximum(mels, log_eps))
@@ -61,41 +113,78 @@ def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
     frame_len = int(sr * frame_length / 1000.0)
     shift = int(sr * frame_shift / 1000.0)
     n_fft = kaldi.next_power_of_two(frame_len)
-    n_bins = n_fft // 2 + 1
     t = kaldi.num_frames_snip_edges(num_samples, frame_len, shift)
 
-    frames = kaldi.frame_signal(waveforms, frame_len, shift)  # (B,T,flen)
-    rows = b * t
-    pad_rows = (-rows) % _ROW_TILE
-    flat = frames.reshape(rows, frame_len)
-    if pad_rows:
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((pad_rows, frame_len), jnp.float32)])
+    n_pieces = -(-frame_len // shift)                      # ceil
+    rows_u = t + n_pieces - 1
+    assert n_pieces == 3, "kernel currently assumes frame_len <= 3*shift"
 
-    rdft = jnp.asarray(kaldi._rdft_np(frame_len, n_fft))
-    mel = jnp.asarray(kaldi._kaldi_mel_banks_np(n_mels, n_fft, sr))
-    window = jnp.asarray(kaldi._window_np("povey", frame_len))[None, :]
+    # wave -> (B, rows_u, shift): a free reshape (plus tail pad/trim)
+    need = rows_u * shift
+    w = waveforms[..., :min(num_samples, need)]
+    if need > w.shape[-1]:
+        w = jnp.pad(w, ((0, 0), (0, need - w.shape[-1])))
+    x = w.reshape(b, rows_u, shift)
+
+    # utterances per grid step: keep block rows ~2k and sublane-aligned
+    u = 1
+    for cand in (16, 8, 4, 2):
+        if b % cand == 0 and cand * rows_u <= 2048 and (cand * rows_u) % 8 == 0:
+            u = cand
+            break
+    b_pad = -(-b // u) * u if (b % u) else b
+    if b_pad != b:
+        x = jnp.concatenate(
+            [x, jnp.zeros((b_pad - b, rows_u, shift), jnp.float32)])
+    rows = u * rows_u
+    if rows % 8:
+        # fall back: single-utterance blocks padded to 8 rows
+        u, rows = 1, rows_u
+        pad_r = (-rows_u) % 8
+        x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0)))
+        rows = rows_u + pad_r
+    x = x.reshape(-1, shift)
+
+    # folded DFT pieces, hi/lo split for 3-pass bf16 products
+    bmat = _folded_dft_np(frame_len, n_fft)                # (flen, 2*keep)
+    keep = n_fft // 2
+    mel_np = kaldi._kaldi_mel_banks_np(n_mels, n_fft, sr)
+    assert np.all(mel_np[keep] == 0.0)  # Nyquist weight; holds for high=Nyq
+    mel = jnp.asarray(mel_np[:keep])
+
+    def packed(piece):
+        """(shift, 2*keep) fp64 -> (3*shift, 2*keep) bf16 [hi; lo; hi]."""
+        p = np.zeros((shift, 2 * keep), np.float64)
+        p[:piece.shape[0]] = piece
+        hi = p.astype(np.float32).astype(jnp.bfloat16)
+        lo = (p - np.asarray(hi, np.float64)).astype(np.float32) \
+            .astype(jnp.bfloat16)
+        # rows [0:S] multiply x_hi -> hi ; [S:2S] x_hi -> lo ; [2S:] x_lo -> hi
+        return jnp.asarray(np.concatenate([hi, lo, hi], axis=0))
+
+    w0 = packed(bmat[0:shift])
+    w1 = packed(bmat[shift:2 * shift])
+    w2 = packed(bmat[2 * shift:frame_len])
 
     kernel = functools.partial(
-        _kernel, preemph=0.97, n_bins=n_bins,
-        log_eps=float(np.finfo(np.float32).eps))
-    grid = (flat.shape[0] // _ROW_TILE,)
+        _kernel, n_bins=keep, log_eps=float(np.finfo(np.float32).eps),
+        shifts=(1, 2))
+    grid = (x.shape[0] // rows,)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_ROW_TILE, frame_len), lambda i: (i, 0),
+            pl.BlockSpec((rows, shift), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, frame_len), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((frame_len, 2 * n_bins), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, n_mels), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            const(w0), const(w1), const(w2), const(mel),
         ],
-        out_specs=pl.BlockSpec((_ROW_TILE, n_mels), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, n_mels), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((flat.shape[0], n_mels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], n_mels), jnp.float32),
         interpret=interpret,
-    )(flat, window, rdft, mel)
-    return out[:rows].reshape(b, t, n_mels)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, w0, w1, w2, mel)
+    return out.reshape(b_pad, -1, n_mels)[:b, :t]
