@@ -119,6 +119,8 @@ def train_throughput(model_name="EcapaTdnn", batch=64, amp=False,
 
 def main():
     from voiceprintrecognition_paddlepaddle_tpu.models import CAMPPlus
+    from voiceprintrecognition_paddlepaddle_tpu.models.pallas_campplus import (
+        make_campplus_embed_fn)
     from voiceprintrecognition_paddlepaddle_tpu.ops.features import (
         compute_feature)
 
@@ -130,9 +132,15 @@ def main():
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), feats0, train=False))()
 
+    if jax.default_backend() == "tpu":
+        # production inference path: fused fbank + whole-trunk Pallas kernel
+        embed_trunk = make_campplus_embed_fn(model, variables)
+    else:
+        embed_trunk = lambda feats: model.apply(variables, feats, train=False)
+
     def embed_once(w):
         feats = compute_feature(w, "Fbank", sr=SR, n_mels=80)
-        return model.apply(variables, feats, train=False)
+        return embed_trunk(feats)
 
     @jax.jit
     def embed_chained(w):

@@ -36,12 +36,18 @@ device; see ``tests/test_pallas_campplus.py``.
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# perf-triage switch (timing experiments only; breaks numerics):
+# "nocam" skips the context gate, "nolocal" the local conv, "nolin1" the
+# wide affine+bottleneck matmul
+_ABLATE = os.environ.get("VPR_TRUNK_ABLATE", "")
 
 __all__ = ["pack_trunk", "trunk_stats_pallas", "campplus_embed_pallas",
            "trunk_plan"]
@@ -250,54 +256,73 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
         for li in range(n):
             spec = plan["layers"][l]
             cin, off = spec["cin"], spec["lin1_off"]
-            xin = xcat_ref[:, :cin].astype(f32)
-            h = jnp.maximum(xin * wide_a[l:l + 1, :cin]
-                            + wide_b[l:l + 1, :cin], 0.0)
-            h = (h * mask).astype(compute_dtype)
-            h1 = jnp.dot(h, w_lin1_ref[off:off + cin, :],
-                         preferred_element_type=f32)
+            # the wide BN affine runs in bf16 and UNMASKED: this loop is
+            # VPU-bound (52 re-normalisations of the growing concat), and
+            # pad-row garbage introduced here is transient — it only flows
+            # through the lin1 matmul into x2, which is masked below
+            if _ABLATE == "nolin1":
+                h1 = xcat_ref[:, :bn_ch].astype(f32)
+            else:
+                xin = xcat_ref[:, :cin]
+                h = jnp.maximum(
+                    xin * wide_a[l:l + 1, :cin].astype(compute_dtype)
+                    + wide_b[l:l + 1, :cin].astype(compute_dtype), 0.0)
+                h1 = jnp.dot(h, w_lin1_ref[off:off + cin, :],
+                             preferred_element_type=f32)
             h1 = h1 + nb[l:l + 1, :]
             x2 = jnp.maximum(h1 * nb[L + l:L + l + 1, :]
                              + nb[2 * L + l:2 * L + l + 1, :], 0.0)
             x2 = (x2 * mask).astype(compute_dtype)
 
-            # local k3 dilated conv: three matmuls + row shifts
-            a0 = dotT(x2, w_localT_ref[(l * 3) * growth:(l * 3 + 1) * growth])
-            a1 = dotT(x2, w_localT_ref[(l * 3 + 1) * growth:
-                                       (l * 3 + 2) * growth])
-            a2 = dotT(x2, w_localT_ref[(l * 3 + 2) * growth:
-                                       (l * 3 + 3) * growth])
-            y = _shift_down(a0, dil) + a1 + _shift_up(a2, dil)
-            y = y + cam_bias_ref[l:l + 1, :growth]
+            # local k3 dilated conv: ONE (bn, 3*growth) matmul (the three
+            # taps live in adjacent output columns — 96 of 128 lanes busy
+            # instead of 3 matmuls at 32/128), then row-shift + add slices
+            if _ABLATE == "nolocal":
+                y = x2[:, :growth].astype(f32)
+            else:
+                a = dotT(x2,
+                         w_localT_ref[l * 3 * growth:(l + 1) * 3 * growth])
+                # shift the full 96-lane tensor, then slice (shifting a
+                # lane slice trips a Mosaic concatenate layout bug)
+                ad, au = _shift_down(a, dil), _shift_up(a, dil)
+                y = (ad[:, :growth] + a[:, growth:2 * growth]
+                     + au[:, 2 * growth:3 * growth])
+                y = y + cam_bias_ref[l:l + 1, :growth]
 
-            # context: pooled means/segments -> tiny gate matmuls
-            pooled = jnp.dot(pt, x2.astype(f32),
-                             preferred_element_type=f32)     # (P_pad, bn)
-            ctx = jnp.dot(msel, pooled,
-                          preferred_element_type=f32)        # (G_pad, bn)
-            c1 = dotT(ctx.astype(compute_dtype),
-                      w_cam1T_ref[l * (bn_ch // 2):(l + 1) * (bn_ch // 2)])
-            c1 = jnp.maximum(
-                c1 + cam_bias_ref[l:l + 1,
-                                  2 * growth:2 * growth + bn_ch // 2], 0.0)
-            g = dotT(c1.astype(compute_dtype),
-                     w_cam2T_ref[l * growth:(l + 1) * growth])
-            g = jax.nn.sigmoid(
-                g + cam_bias_ref[l:l + 1, growth:2 * growth])
-            gate = jnp.dot(ssel, g.astype(compute_dtype),
-                           preferred_element_type=f32)       # (rows, g)
+            if _ABLATE == "nocam":
+                gate = 1.0
+            else:
+                # context: pooled means/segments -> tiny gate matmuls
+                pooled = jnp.dot(pt, x2.astype(f32),
+                                 preferred_element_type=f32)  # (P_pad, bn)
+                ctx = jnp.dot(msel, pooled,
+                              preferred_element_type=f32)     # (G_pad, bn)
+                c1 = dotT(ctx.astype(compute_dtype),
+                          w_cam1T_ref[l * (bn_ch // 2):
+                                      (l + 1) * (bn_ch // 2)])
+                c1 = jnp.maximum(
+                    c1 + cam_bias_ref[l:l + 1,
+                                      2 * growth:2 * growth + bn_ch // 2],
+                    0.0)
+                g = dotT(c1.astype(compute_dtype),
+                         w_cam2T_ref[l * growth:(l + 1) * growth])
+                g = jax.nn.sigmoid(
+                    g + cam_bias_ref[l:l + 1, growth:2 * growth])
+                gate = jnp.dot(ssel, g.astype(compute_dtype),
+                               preferred_element_type=f32)    # (rows, g)
 
             out = (y * gate * mask).astype(compute_dtype)
             c0 = plan["blocks"][b]["c_in"]
             xcat_ref[:, c0 + li * growth:c0 + (li + 1) * growth] = out
             l += 1
 
-        # transit: BN+ReLU then 1x1 conv halving channels
+        # transit: BN+ReLU then 1x1 conv halving channels (bf16 affine,
+        # unmasked — ht is masked at the write below)
         cw = plan["blocks"][b]["c_out"]
-        xin = xcat_ref[:, :cw].astype(f32)
-        h = jnp.maximum(xin * wide_a[L + b:L + b + 1, :cw]
-                        + wide_b[L + b:L + b + 1, :cw], 0.0)
-        h = (h * mask).astype(compute_dtype)
+        xin = xcat_ref[:, :cw]
+        h = jnp.maximum(
+            xin * wide_a[L + b:L + b + 1, :cw].astype(compute_dtype)
+            + wide_b[L + b:L + b + 1, :cw].astype(compute_dtype), 0.0)
         w_t = (w_t0_ref, w_t1_ref, w_t2_ref)[b]
         ht = jnp.dot(h, w_t[:], preferred_element_type=f32)
         ht = ht + tbias_ref[b:b + 1, :cw // 2]
@@ -398,21 +423,26 @@ def _pool_matrices(u, t_valid, t_pad, n_segs):
     return pt, msel, ssel.astype(np.float32)
 
 
-def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None):
+def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None,
+                       packed=None):
     """CAM++ trunk: FCM output ``(B, T_raw, 320)`` -> pooled stats
     ``(B, 2*final_channels)`` (mean ‖ std), all inside one Pallas kernel.
 
     Exact-length inputs only (no per-utterance padding); the bucketed /
-    masked eval path stays on XLA.
+    masked eval path stays on XLA. Pass ``packed=pack_trunk(variables)``
+    (computed once per checkpoint) to skip per-call weight packing.
     """
     plan = trunk_plan()
-    packed = pack_trunk(variables, plan)
+    if packed is None:
+        packed = pack_trunk(variables, plan)
     b, t_raw, c_in = fcm_out.shape
     assert c_in == 320, c_in
     t_valid = (t_raw + 2 * 2 - 5) // 2 + 1        # stem k5 s2 pad 2
     t_pad = _round_up(t_valid + 2, 32)
     if u is None:
-        u = max(1, min(8, 2048 // t_pad))
+        # the out BlockSpec needs u % 8 == 0; 16 amortises per-op overhead
+        # better (measured 6.89 vs 7.50 ms at b256/3s) but compiles longer
+        u = 8 if 8 * t_pad > 2048 else 16
     n_segs = max(1, math.ceil(t_valid / SEG_LEN))
 
     b_pad = _round_up(b, u)
@@ -440,7 +470,8 @@ def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None):
     return out[:b]
 
 
-def campplus_embed_pallas(model, variables, feats, interpret=False):
+def campplus_embed_pallas(model, variables, feats, interpret=False,
+                          packed=None):
     """Full CAM++ forward with the Pallas trunk: features ``(B, T, F)`` ->
     embeddings ``(B, embd_dim)``. FCM and the final DenseBN stay on XLA
     (2-D convs XLA already handles; the head is tiny)."""
@@ -452,9 +483,23 @@ def campplus_embed_pallas(model, variables, feats, interpret=False):
         {"params": variables["params"]["FCM_0"],
          "batch_stats": variables["batch_stats"]["FCM_0"]},
         feats, train=False)
-    stats = trunk_stats_pallas(variables, fcm_out, interpret=interpret)
+    stats = trunk_stats_pallas(variables, fcm_out, interpret=interpret,
+                               packed=packed)
     head = DenseBN(model.embd_dim, config_str="batchnorm_", dtype=model.dtype)
     return head.apply(
         {"params": variables["params"]["DenseBN_0"],
          "batch_stats": variables["batch_stats"]["DenseBN_0"]},
         stats.astype(fcm_out.dtype), train=False)
+
+
+def make_campplus_embed_fn(model, variables, interpret=False):
+    """One-time setup for the fast inference path: packs the trunk weights
+    on device once (per checkpoint) and returns a jittable
+    ``feats (B, T, F) -> embeddings (B, embd_dim)`` closure."""
+    packed = jax.jit(lambda v: pack_trunk(v, trunk_plan()))(variables)
+
+    def embed(feats):
+        return campplus_embed_pallas(model, variables, feats,
+                                     interpret=interpret, packed=packed)
+
+    return embed

@@ -70,6 +70,7 @@ class Predictor:
         logger.info(f"loaded model weights: {model_path}")
 
         self._jit_embed = jax.jit(self._embed_impl)
+        self._embed_fast = self._maybe_make_fast_embed()
 
         # voiceprint database state (reference ``predict.py:69-86``)
         self.audio_feature = None
@@ -87,6 +88,33 @@ class Predictor:
     # ------------------------------------------------------------------
     # embedding core
     # ------------------------------------------------------------------
+    def _maybe_make_fast_embed(self):
+        """Whole-trunk Pallas inference path for CAM++ on TPU.
+
+        Only valid for exact-length batches (no padding mask): single-clip
+        ``predict`` and the equal-length diarization chunks — the hot
+        serving paths. Returns None when inapplicable."""
+        from .models.campplus import CAMPPlus
+        if not (isinstance(self.model, CAMPPlus)
+                and jax.default_backend() == "tpu"
+                and getattr(self.model, "growth_rate", None) == 32
+                and getattr(self.model, "init_channels", None) == 128
+                and getattr(self.model, "bn_size", None) == 4
+                and getattr(self._audio_featurizer, "dither", 0.0) == 0.0):
+            return None
+        try:
+            from .models.pallas_campplus import make_campplus_embed_fn
+            embed = make_campplus_embed_fn(self.model, self.variables)
+        except Exception:  # pragma: no cover - fall back to the XLA path
+            return None
+
+        @jax.jit
+        def fast(waves):
+            feats = self._audio_featurizer.featurize(waves)
+            return embed(feats)
+
+        return fast
+
     def _embed_impl(self, waves, lens_ratio):
         # fixed key -> deterministic inference when Fbank dither is on
         rng_kw = ({"rng": jax.random.PRNGKey(0)}
@@ -256,7 +284,13 @@ class Predictor:
             for j, s in enumerate(chunk):
                 waves[j, :len(s)] = s
                 ratios[j] = len(s) / max_len
-            emb = self._jit_embed(jnp.asarray(waves), jnp.asarray(ratios))
+            if self._embed_fast is not None and bool(np.all(ratios == 1.0)):
+                # exact-length batch (e.g. equal diarization chunks):
+                # whole-trunk Pallas kernel, no padding mask needed
+                emb = self._embed_fast(jnp.asarray(waves))
+            else:
+                emb = self._jit_embed(jnp.asarray(waves),
+                                      jnp.asarray(ratios))
             features.append(np.asarray(emb))
         return np.concatenate(features, axis=0)
 
