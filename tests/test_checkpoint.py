@@ -120,3 +120,27 @@ def test_explicit_resume_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_checkpoint(CFG, _state(), str(tmp_path),
                         resume_model=str(tmp_path / "nope"))
+
+
+def test_async_saver_orders_and_surfaces_errors(tmp_path):
+    from voiceprintrecognition_paddlepaddle_tpu.utils.checkpoint import \
+        AsyncSaver
+
+    s = AsyncSaver()
+    order = []
+    for i in range(5):
+        s.submit(lambda i=i: order.append(i))
+    s.wait()
+    assert order == [0, 1, 2, 3, 4]
+
+    def boom():
+        raise OSError("disk full")
+
+    s.submit(boom)
+    import pytest
+    with pytest.raises(RuntimeError, match="disk full"):
+        s.wait()
+    # saver stays usable after the error is reported
+    s.submit(lambda: order.append(5))
+    s.close()
+    assert order[-1] == 5

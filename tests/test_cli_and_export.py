@@ -96,6 +96,10 @@ def test_export_then_predict(trained):
     wave[0, :SR] = 0.1 * np.sin(np.linspace(0, 800, SR))
     out = exported.call(jnp.asarray(wave))
     assert np.asarray(out).shape == (1, 24)
+    # the default export has a SYMBOLIC batch dim: any batch size works
+    out3 = exported.call(jnp.asarray(np.tile(wave, (3, 1))))
+    assert np.asarray(out3).shape == (3, 24)
+    assert np.allclose(np.asarray(out3)[0], np.asarray(out)[0], atol=1e-5)
     pred = Predictor(configs=cfg, model_path=infer_dir)
     emb = pred.predict(str(root / "s0_0.wav"))
     assert emb.shape == (24,)

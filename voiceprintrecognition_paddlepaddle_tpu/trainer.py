@@ -44,8 +44,9 @@ from .ops.features import AudioFeaturizer
 from .optimizer import MarginScheduler, build_lr_scheduler, build_optimizer
 from .parallel import (batch_sharding, create_mesh, local_process_info,
                        replicated_sharding, shard_batch)
-from .utils.checkpoint import (load_checkpoint, load_pretrained,
-                               save_checkpoint, save_msgpack)
+from .utils.checkpoint import (AsyncSaver, load_checkpoint,
+                               load_pretrained, save_checkpoint,
+                               save_msgpack)
 from .utils.logger import logger
 from .utils.utils import dict_to_object, print_arguments, select_platform
 
@@ -435,6 +436,26 @@ class Trainer:
         self.test_log_step = self.train_log_step = 0
         data_sharding = batch_sharding(self.mesh)
 
+        # checkpoint writes run on a background thread by default: the
+        # device->host snapshot stays synchronous (the train step donates
+        # its buffers) but serialization + disk IO overlap the next epoch.
+        # train() drains the queue before returning.
+        self._async_saver = (
+            AsyncSaver() if (rank == 0 and save_model_path
+                             and self.configs.train_conf.get(
+                                 "async_checkpoint", True))
+            else None)
+        try:
+            self._train_epochs(last_epoch, max_epoch, writer, rank, base_rng,
+                               data_sharding, save_model_path, do_eval,
+                               best_eer)
+        finally:
+            if self._async_saver is not None:
+                self._async_saver.close()
+                self._async_saver = None
+
+    def _train_epochs(self, last_epoch, max_epoch, writer, rank, base_rng,
+                      data_sharding, save_model_path, do_eval, best_eer):
         for epoch_id in range(last_epoch, max_epoch):
             if self.stop_train:
                 break
@@ -467,13 +488,15 @@ class Trainer:
                                     epoch_id, eer=self.eval_eer,
                                     min_dcf=self.eval_min_dcf,
                                     threshold=self.eval_threshold,
-                                    margin=self._margin(), best_model=True)
+                                    margin=self._margin(), best_model=True,
+                                    async_saver=self._async_saver)
             if rank == 0 and save_model_path:
                 save_checkpoint(self.configs, self.state, save_model_path,
                                 epoch_id, eer=self.eval_eer,
                                 min_dcf=self.eval_min_dcf,
                                 threshold=self.eval_threshold,
-                                margin=self._margin())
+                                margin=self._margin(),
+                                async_saver=self._async_saver)
 
     def _margin(self):
         return (self.margin_scheduler.get_margin()
@@ -571,7 +594,8 @@ class Trainer:
             if (batch_id % 10000 == 0 and batch_id != 0 and rank == 0
                     and save_model_path):
                 save_checkpoint(self.configs, self.state, save_model_path,
-                                epoch_id, margin=self._margin())
+                                epoch_id, margin=self._margin(),
+                                async_saver=self._async_saver)
 
     # ------------------------------------------------------------------
     def _embed_loader(self, loader, desc):
@@ -716,12 +740,17 @@ class Trainer:
 
     def export(self, save_model_path="models/",
                resume_model="models/CAMPPlus_Fbank/best_model/",
-               export_batch=1, export_seconds=3):
+               export_batch=None, export_seconds=3):
         """Save a backbone-only inference bundle (reference
         ``trainer.py:449-474``'s static-graph export): params + config, plus
         a serialized StableHLO module (``model.stablehlo``) of the full
-        wav→features→embedding forward at the given example shape — the
-        TPU-native equivalent of ``paddle.jit.save``."""
+        wav→features→embedding forward — the TPU-native equivalent of
+        ``paddle.jit.save``.
+
+        ``export_batch=None`` (default) exports with a *symbolic* batch
+        dimension, so one module serves any batch size; pass an int to pin
+        it. The audio length stays static (serving buckets lengths anyway;
+        export one module per bucket for variable-duration serving)."""
         self.audio_featurizer = AudioFeaturizer(
             feature_method=self.configs.preprocess_conf.feature_method,
             method_args=self.configs.preprocess_conf.get("method_args", {}))
@@ -763,8 +792,12 @@ class Trainer:
 
             sr = self.configs.dataset_conf.get("dataset", {}).get(
                 "sample_rate", 16000)
+            if export_batch is None:
+                (b,) = jax.export.symbolic_shape("b")
+            else:
+                b = export_batch
             example = jax.ShapeDtypeStruct(
-                (export_batch, export_seconds * sr), jnp.float32)
+                (b, export_seconds * sr), jnp.float32)
             exported = jax.export.export(jax.jit(forward))(example)
             with open(os.path.join(infer_dir, "model.stablehlo"), "wb") as f:
                 f.write(exported.serialize())

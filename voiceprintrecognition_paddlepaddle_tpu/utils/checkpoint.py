@@ -15,7 +15,9 @@ no replay.
 
 import json
 import os
+import queue
 import shutil
+import threading
 
 import jax
 import numpy as np
@@ -26,7 +28,58 @@ from .. import __version__
 from .logger import logger
 
 __all__ = ["save_checkpoint", "load_checkpoint", "load_pretrained",
-           "save_msgpack", "load_msgpack"]
+           "save_msgpack", "load_msgpack", "AsyncSaver"]
+
+
+class AsyncSaver:
+    """Ordered background writer for checkpoints.
+
+    The device→host snapshot must happen on the caller's thread (the train
+    step donates its input buffers, so arrays referenced after the next
+    step dispatch would be invalid); serialization, disk writes, the
+    ``last_model`` copy and epoch pruning — the actually slow parts — run
+    here on a single worker thread, preserving submission order. Errors
+    surface on the next submit/wait rather than being swallowed.
+    """
+
+    def __init__(self):
+        self._q = queue.Queue()
+        self._err = None
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 - reported on next call
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError(f"async checkpoint write failed: {err}") \
+                from err
+
+    def submit(self, fn):
+        self._check()
+        self._q.put(fn)
+
+    def wait(self):
+        """Block until all submitted writes are on disk."""
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self._q.put(None)
+        self._q.join()
+        self._check()
 
 
 def _ckpt_dir(configs, save_model_path, tag):
@@ -47,21 +100,20 @@ def load_msgpack(target, path):
 
 def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
                     min_dcf=None, threshold=None, margin=None,
-                    best_model=False):
-    """``state`` is the trainer's TrainState pytree."""
+                    best_model=False, async_saver=None):
+    """``state`` is the trainer's TrainState pytree.
+
+    With ``async_saver`` (an :class:`AsyncSaver`), the device→host snapshot
+    happens here (cheap, and required before the donated buffers are
+    reused) while serialization + disk IO run in the background."""
     tag = "best_model" if best_model else f"epoch_{epoch_id}"
     model_path = _ckpt_dir(configs, save_model_path, tag)
-    if os.path.exists(model_path):
-        shutil.rmtree(model_path)
-    os.makedirs(model_path, exist_ok=True)
 
-    model_tree = {"params": state.params, "batch_stats": state.batch_stats,
-                  "loss_params": state.loss_params}
-    save_msgpack(jax.device_get(model_tree),
-                 os.path.join(model_path, "model.msgpack"))
-    save_msgpack(jax.device_get({"opt_state": state.opt_state,
-                                 "step": state.step}),
-                 os.path.join(model_path, "optimizer.msgpack"))
+    model_tree = jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "loss_params": state.loss_params})
+    opt_tree = jax.device_get({"opt_state": state.opt_state,
+                               "step": state.step})
 
     data = {"last_epoch": int(epoch_id), "version": __version__,
             "model": configs.model_conf.model,
@@ -72,18 +124,30 @@ def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
         data.update(threshold=threshold, eer=eer, min_dcf=min_dcf)
     if margin is not None:
         data["margin"] = float(margin)
-    with open(os.path.join(model_path, "model.state"), "w",
-              encoding="utf-8") as f:
-        json.dump(data, f, indent=4, ensure_ascii=False)
 
-    if not best_model:
-        last_path = _ckpt_dir(configs, save_model_path, "last_model")
-        shutil.rmtree(last_path, ignore_errors=True)
-        shutil.copytree(model_path, last_path)
-        old = _ckpt_dir(configs, save_model_path, f"epoch_{epoch_id - 3}")
-        if os.path.exists(old):
-            shutil.rmtree(old)
-    logger.info(f"checkpoint saved: {model_path}")
+    def _write():
+        if os.path.exists(model_path):
+            shutil.rmtree(model_path)
+        os.makedirs(model_path, exist_ok=True)
+        save_msgpack(model_tree, os.path.join(model_path, "model.msgpack"))
+        save_msgpack(opt_tree, os.path.join(model_path, "optimizer.msgpack"))
+        with open(os.path.join(model_path, "model.state"), "w",
+                  encoding="utf-8") as f:
+            json.dump(data, f, indent=4, ensure_ascii=False)
+        if not best_model:
+            last_path = _ckpt_dir(configs, save_model_path, "last_model")
+            shutil.rmtree(last_path, ignore_errors=True)
+            shutil.copytree(model_path, last_path)
+            old = _ckpt_dir(configs, save_model_path,
+                            f"epoch_{epoch_id - 3}")
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        logger.info(f"checkpoint saved: {model_path}")
+
+    if async_saver is not None:
+        async_saver.submit(_write)
+    else:
+        _write()
     return model_path
 
 
