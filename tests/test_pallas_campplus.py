@@ -83,3 +83,30 @@ def test_trunk_stats_match_xla_stats(model_and_vars):
     assert stats.shape == (2, 1024)
     assert np.isfinite(stats).all()
     assert (stats[:, 512:] >= 0).all()  # std half non-negative
+
+
+def test_trunk_kernel_masked_padded_batch(model_and_vars):
+    """Padded/bucketed batch with per-utterance valid lengths: the masked
+    kernel path must match exact-length embedding of each clip (the
+    padding-invariance contract, cf. tests/test_padding_invariance.py)."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(4)
+    t_bucket, valids = 298, [298, 200, 145]
+    feats_full = rng.randn(3, t_bucket, 80).astype(np.float32)
+    feats_pad = feats_full.copy()
+    for i, v in enumerate(valids):
+        feats_pad[i, v:] = 0.0
+
+    from voiceprintrecognition_paddlepaddle_tpu.models.pallas_campplus import \
+        trunk_geometry
+    t_valid_full = trunk_geometry(t_bucket)[0]
+    tvalids = [int(np.ceil(v / t_bucket * t_valid_full)) for v in valids]
+    got = np.asarray(campplus_embed_pallas(
+        model, variables, jnp.asarray(feats_pad), interpret=True,
+        tvalids=tvalids))
+
+    for i, v in enumerate(valids):
+        exact = np.asarray(campplus_embed_pallas(
+            model, variables, jnp.asarray(feats_full[i:i + 1, :v]),
+            interpret=True))[0]
+        assert _cos(exact[None], got[i:i + 1]) > 0.999, (i, v)

@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 _ABLATE = os.environ.get("VPR_TRUNK_ABLATE", "")
 
 __all__ = ["pack_trunk", "trunk_stats_pallas", "campplus_embed_pallas",
-           "trunk_plan"]
+           "trunk_plan", "trunk_geometry", "trunk_stats_from_parts",
+           "make_campplus_embed_fn", "make_campplus_masked_embed_fn"]
 
 SEG_LEN = 100  # reference campplus.py:96 seg_pooling window
 
@@ -207,8 +208,8 @@ def _shift_up(x, s):
 def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
             w_cam1T_ref, w_cam2T_ref, w_t0_ref, w_t1_ref, w_t2_ref,
             wide_a_ref, wide_b_ref, tbias_ref, narrow_ref, cam_bias_ref,
-            pt_ref, msel_ref, ssel_ref, out_ref, xcat_ref, *, plan, u,
-            t_valid, t_pad, n_segs, compute_dtype):
+            pt_ref, msel_ref, ssel_ref, mask_ref, out_ref, xcat_ref, *,
+            plan, u, t_pad, compute_dtype):
     f32 = jnp.float32
     growth, bn_ch = plan["growth"], plan["bn_ch"]
     L = plan["n_layers"]
@@ -220,9 +221,9 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
             x, wt[:], (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
 
-    # validity mask: row r is frame (r % t_pad), valid when < t_valid
-    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    mask = ((rid % t_pad) < t_valid).astype(f32)
+    # per-utterance validity mask (data, not a static shape — padded /
+    # bucketed batches pass per-utterance valid-frame counts)
+    mask = mask_ref[:]
 
     # ---- stem: k5 s2 conv as five shifted matmuls over even/odd rows ----
     nb = narrow_ref[:]
@@ -247,9 +248,9 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
     xcat_ref[:, :plan["init_channels"]] = y
 
     wide_a, wide_b = wide_a_ref[:], wide_b_ref[:]
-    pt = pt_ref[:]          # (P_pad, rows) pooling weights
-    msel = msel_ref[:]      # (G_pad, P_pad) mean+seg combiner
-    ssel = ssel_ref[:]      # (rows, G_pad) gate scatter
+    pt = pt_ref[0]          # (P_pad, rows) pooling weights (per step)
+    msel = msel_ref[0]      # (G_pad, P_pad) mean+seg combiner
+    ssel = ssel_ref[0]      # (rows, G_pad) gate scatter
 
     l = 0
     for b, (n, dil) in enumerate(zip(plan["num_layers"], plan["dilations"])):
@@ -335,8 +336,9 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
                     + wide_b[L + 3:L + 4, :cf], 0.0) * mask
     mean = jnp.dot(pt[:u], x, preferred_element_type=f32)     # rows 0..u-1
     meansq = jnp.dot(pt[:u], x * x, preferred_element_type=f32)
-    var = (meansq - mean * mean) * (t_valid / max(t_valid - 1, 1))
-    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    # biased variance; the wrapper applies the per-utterance unbiased
+    # correction sqrt(tv/(tv-1)) outside the kernel
+    std = jnp.sqrt(jnp.maximum(meansq - mean * mean, 0.0))
     out_ref[:, :cf] = mean
     out_ref[:, cf:] = std
 
@@ -345,16 +347,16 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
 # host-side wrapper
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("plan_key", "interpret"))
-def _trunk_call(packed, xe, xo, pt, msel, ssel, *, plan_key, interpret):
-    (t_valid, t_pad, u, n_segs) = plan_key
+def _trunk_call(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
+                interpret):
+    (t_pad, u) = plan_key
     plan = trunk_plan()
     rows = u * t_pad
     grid = (xe.shape[0] // rows,)
     cf = plan["final_channels"]
 
     kernel = functools.partial(
-        _kernel, plan=plan, u=u, t_valid=t_valid, t_pad=t_pad,
-        n_segs=n_segs, compute_dtype=jnp.bfloat16)
+        _kernel, plan=plan, u=u, t_pad=t_pad, compute_dtype=jnp.bfloat16)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
@@ -379,9 +381,14 @@ def _trunk_call(packed, xe, xo, pt, msel, ssel, *, plan_key, interpret):
             const(*packed["tbias"].shape),
             const(*packed["narrow"].shape),
             const(*packed["cam_bias"].shape),
-            const(*pt.shape),
-            const(*msel.shape),
-            const(*ssel.shape),
+            pl.BlockSpec((1,) + pt.shape[1:], lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + msel.shape[1:], lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + ssel.shape[1:], lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((u, 2 * cf), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -394,87 +401,124 @@ def _trunk_call(packed, xe, xo, pt, msel, ssel, *, plan_key, interpret):
     )(xe, xo, packed["w_stem"], packed["w_lin1"], packed["w_localT"],
       packed["w_cam1T"], packed["w_cam2T"], *packed["transits"],
       packed["wide_a"], packed["wide_b"], packed["tbias"], packed["narrow"],
-      packed["cam_bias"], pt, msel, ssel)
+      packed["cam_bias"], pt, msel, ssel, mask)
     return out
 
 
-def _pool_matrices(u, t_valid, t_pad, n_segs):
-    """Constant pooling / combiner / scatter matrices (numpy)."""
+def _pool_matrices(tvalids, t_pad, u, n_segs):
+    """Per-grid-step pooling / combiner / scatter matrices + validity mask
+    (numpy). ``tvalids``: per-utterance valid trunk-frame counts (length a
+    multiple of ``u``); ``n_segs`` is the max segment count (from t_pad).
+
+    These are *data*, not shapes: a bucketed batch with mixed valid
+    lengths reuses the same compiled kernel."""
+    steps = len(tvalids) // u
     rows = u * t_pad
-    p = u * (1 + n_segs)
-    p_pad = _round_up(p, 8)
-    g = u * n_segs
-    g_pad = _round_up(g, 8)
+    p_pad = _round_up(u * (1 + n_segs), 8)
+    g_pad = _round_up(u * n_segs, 8)
 
-    pt = np.zeros((p_pad, rows), np.float32)
-    msel = np.zeros((g_pad, p_pad), np.float32)
-    ssel = np.zeros((rows, g_pad), np.float32)
-    for uu in range(u):
+    pt = np.zeros((steps, p_pad, rows), np.float32)
+    msel = np.zeros((steps, g_pad, p_pad), np.float32)
+    ssel = np.zeros((steps, rows, g_pad), np.float32)
+    mask = np.zeros((steps * rows, 1), np.float32)
+    for i, tv in enumerate(tvalids):
+        st, uu = divmod(i, u)
+        tv = max(1, min(int(tv), t_pad))
         base = uu * t_pad
-        pt[uu, base:base + t_valid] = 1.0 / t_valid          # mean row
-        for s in range(n_segs):
+        mask[st * rows + base:st * rows + base + tv] = 1.0
+        pt[st, uu, base:base + tv] = 1.0 / tv                # mean row
+        for s in range(math.ceil(tv / SEG_LEN)):
             s0 = s * SEG_LEN
-            s1 = min((s + 1) * SEG_LEN, t_valid)
-            pt[u + uu * n_segs + s, base + s0:base + s1] = 1.0 / (s1 - s0)
+            s1 = min((s + 1) * SEG_LEN, tv)
+            pt[st, u + uu * n_segs + s, base + s0:base + s1] = 1.0 / (s1 - s0)
             gi = uu * n_segs + s
-            msel[gi, uu] = 1.0                               # + mean
-            msel[gi, u + uu * n_segs + s] = 1.0              # + segment
-            ssel[base + s0:base + s1, gi] = 1.0
-    return pt, msel, ssel.astype(np.float32)
+            msel[st, gi, uu] = 1.0                           # + mean
+            msel[st, gi, u + uu * n_segs + s] = 1.0          # + segment
+            ssel[st, base + s0:base + s1, gi] = 1.0
+    return pt, msel, ssel, mask
 
 
-def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None,
-                       packed=None):
-    """CAM++ trunk: FCM output ``(B, T_raw, 320)`` -> pooled stats
-    ``(B, 2*final_channels)`` (mean ‖ std), all inside one Pallas kernel.
-
-    Exact-length inputs only (no per-utterance padding); the bucketed /
-    masked eval path stays on XLA. Pass ``packed=pack_trunk(variables)``
-    (computed once per checkpoint) to skip per-call weight packing.
-    """
-    plan = trunk_plan()
-    if packed is None:
-        packed = pack_trunk(variables, plan)
-    b, t_raw, c_in = fcm_out.shape
-    assert c_in == 320, c_in
+def trunk_geometry(t_raw, u=None):
+    """Static kernel geometry for a raw FCM-output length ``t_raw``."""
     t_valid = (t_raw + 2 * 2 - 5) // 2 + 1        # stem k5 s2 pad 2
     t_pad = _round_up(t_valid + 2, 32)
     if u is None:
-        # the out BlockSpec needs u % 8 == 0; 16 amortises per-op overhead
-        # better (measured 6.89 vs 7.50 ms at b256/3s) but compiles longer
-        u = 8 if 8 * t_pad > 2048 else 16
+        # the out BlockSpec needs u % 8 == 0. u=16 amortises per-op
+        # overhead better (measured 6.89 vs 7.50 ms at b256/3s) but Mosaic
+        # compile time grows superlinearly in rows-per-step (u=16 at
+        # t_pad=224 exceeded 40 min), so cap rows at ~2.5k
+        u = 16 if 16 * t_pad <= 2560 else 8
     n_segs = max(1, math.ceil(t_valid / SEG_LEN))
+    return t_valid, t_pad, u, n_segs
 
-    b_pad = _round_up(b, u)
-    if b_pad != b:
-        fcm_out = jnp.concatenate(
-            [fcm_out, jnp.zeros((b_pad - b, t_raw, c_in), fcm_out.dtype)])
 
-    # pre-split even/odd frames for the stride-2 stem, pad T to t_pad
+def trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask, corr,
+                           t_pad, u, interpret=False):
+    """Jit-friendly core: pooling matrices / mask / std-correction are
+    traced ARGUMENTS, so mixed-length bucketed batches reuse one compiled
+    program. ``fcm_out`` must already be batch-padded to a multiple of
+    ``u``; returns padded ``(B_pad, 2*cf)`` stats."""
+    plan = trunk_plan()
+    b_pad, t_raw, c_in = fcm_out.shape
+    t_valid = (t_raw + 2 * 2 - 5) // 2 + 1
     dtype = jnp.bfloat16
     xe = fcm_out[:, 0::2][:, :t_valid].astype(dtype)
     xo = fcm_out[:, 1::2][:, :t_valid].astype(dtype)
-    # xo may have t_valid-1 rows when t_raw is even
     if xo.shape[1] < t_valid:
         xo = jnp.concatenate(
             [xo, jnp.zeros((b_pad, t_valid - xo.shape[1], c_in), dtype)], 1)
     pad_t = t_pad - t_valid
     xe = jnp.pad(xe, ((0, 0), (0, pad_t), (0, 0))).reshape(-1, c_in)
     xo = jnp.pad(xo, ((0, 0), (0, pad_t), (0, 0))).reshape(-1, c_in)
+    out = _trunk_call(packed, xe, xo, pt, msel, ssel, mask,
+                      plan_key=(t_pad, u), interpret=interpret)
+    cf = plan["final_channels"]
+    return jnp.concatenate([out[:, :cf], out[:, cf:] * corr[:, None]], -1)
 
-    pt, msel, ssel = (jnp.asarray(m) for m in
-                      _pool_matrices(u, t_valid, t_pad, n_segs))
-    out = _trunk_call(packed, xe, xo, pt, msel, ssel,
-                      plan_key=(t_valid, t_pad, u, n_segs),
-                      interpret=interpret)
+
+def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None,
+                       packed=None, tvalids=None):
+    """CAM++ trunk: FCM output ``(B, T_raw, 320)`` -> pooled stats
+    ``(B, 2*final_channels)`` (mean ‖ std), all inside one Pallas kernel.
+
+    ``tvalids`` (host-side ints, length B): per-utterance valid trunk-frame
+    counts for padded/bucketed batches — pooling weights and the validity
+    mask are kernel *inputs*, so mixed-length batches share one compiled
+    program per bucket shape. None = every utterance exactly T_raw long.
+    Pass ``packed=pack_trunk(variables)`` (computed once per checkpoint)
+    to skip per-call weight packing."""
+    plan = trunk_plan()
+    if packed is None:
+        packed = pack_trunk(variables, plan)
+    b, t_raw, c_in = fcm_out.shape
+    assert c_in == 320, c_in
+    t_valid, t_pad, u, n_segs = trunk_geometry(t_raw, u)
+
+    b_pad = _round_up(b, u)
+    if b_pad != b:
+        fcm_out = jnp.concatenate(
+            [fcm_out, jnp.zeros((b_pad - b, t_raw, c_in), fcm_out.dtype)])
+
+    if tvalids is None:
+        tv_list = [t_valid] * b_pad
+    else:
+        tv_list = [max(1, min(int(t), t_valid)) for t in tvalids]
+        tv_list += [t_valid] * (b_pad - b)
+    pt, msel, ssel, mask = (jnp.asarray(m) for m in
+                            _pool_matrices(tv_list, t_pad, u, n_segs))
+    corr = jnp.sqrt(jnp.asarray(
+        [tv / max(tv - 1, 1) for tv in tv_list], jnp.float32))
+    out = trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask,
+                                 corr, t_pad, u, interpret=interpret)
     return out[:b]
 
 
 def campplus_embed_pallas(model, variables, feats, interpret=False,
-                          packed=None):
+                          packed=None, tvalids=None):
     """Full CAM++ forward with the Pallas trunk: features ``(B, T, F)`` ->
     embeddings ``(B, embd_dim)``. FCM and the final DenseBN stay on XLA
-    (2-D convs XLA already handles; the head is tiny)."""
+    (2-D convs XLA already handles; the head is tiny). ``tvalids``:
+    host-side per-utterance valid trunk-frame counts for padded batches."""
     from .campplus import FCM
     from .layers import DenseBN
 
@@ -484,7 +528,7 @@ def campplus_embed_pallas(model, variables, feats, interpret=False,
          "batch_stats": variables["batch_stats"]["FCM_0"]},
         feats, train=False)
     stats = trunk_stats_pallas(variables, fcm_out, interpret=interpret,
-                               packed=packed)
+                               packed=packed, tvalids=tvalids)
     head = DenseBN(model.embd_dim, config_str="batchnorm_", dtype=model.dtype)
     return head.apply(
         {"params": variables["params"]["DenseBN_0"],
@@ -503,3 +547,63 @@ def make_campplus_embed_fn(model, variables, interpret=False):
                                      interpret=interpret, packed=packed)
 
     return embed
+
+
+def make_campplus_masked_embed_fn(model, variables, featurizer,
+                                  interpret=False):
+    """Fast path for PADDED/bucketed batches: returns a host callable
+    ``(waves (B, L) np, ratios (B,) np) -> embeddings (B, embd_dim)``.
+    ``featurizer``: an ``AudioFeaturizer`` (supplies ``featurize`` and
+    ``num_frames``).
+
+    Per-utterance pooling weights / masks are built host-side from the
+    ratios and passed as jit *arguments* — one compiled program per
+    (bucket length, batch) shape regardless of the actual lengths."""
+    from .campplus import FCM
+    from .layers import DenseBN
+
+    packed = jax.jit(lambda v: pack_trunk(v, trunk_plan()))(variables)
+    fcm = FCM(dtype=model.dtype)
+    fcm_vars = {"params": variables["params"]["FCM_0"],
+                "batch_stats": variables["batch_stats"]["FCM_0"]}
+    head = DenseBN(model.embd_dim, config_str="batchnorm_",
+                   dtype=model.dtype)
+    head_vars = {"params": variables["params"]["DenseBN_0"],
+                 "batch_stats": variables["batch_stats"]["DenseBN_0"]}
+
+    @functools.partial(jax.jit, static_argnames=("t_pad", "u", "b"))
+    def inner(waves, ratios, pt, msel, ssel, mask, corr, *, t_pad, u, b):
+        feats = featurizer.featurize(waves, input_lens_ratio=ratios)
+        fcm_out = fcm.apply(fcm_vars, feats, train=False)
+        b_pad = pt.shape[0] * u
+        if b_pad != b:
+            fcm_out = jnp.concatenate(
+                [fcm_out, jnp.zeros((b_pad - b,) + fcm_out.shape[1:],
+                                    fcm_out.dtype)])
+        stats = trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel,
+                                       mask, corr, t_pad, u,
+                                       interpret=interpret)
+        return head.apply(head_vars, stats.astype(fcm_out.dtype),
+                          train=False)[:b]
+
+    def call(waves, ratios):
+        waves = np.asarray(waves)
+        ratios = np.asarray(ratios, np.float32)
+        b = waves.shape[0]
+        # feature frames for this bucket, then valid trunk frames per utt
+        probe_t = featurizer.num_frames(waves.shape[1])
+        t_valid, t_pad, u, n_segs = trunk_geometry(probe_t)
+        b_pad = _round_up(b, u)
+        # ceil matches length_to_mask's `iota < ratio*t` frame count
+        tv = [max(1, min(int(math.ceil(r * t_valid)), t_valid))
+              for r in ratios]
+        tv += [t_valid] * (b_pad - b)
+        pt, msel, ssel, mask = _pool_matrices(tv, t_pad, u, n_segs)
+        corr = np.sqrt(np.asarray(
+            [t / max(t - 1, 1) for t in tv], np.float32))
+        return inner(jnp.asarray(waves), jnp.asarray(ratios),
+                     jnp.asarray(pt), jnp.asarray(msel), jnp.asarray(ssel),
+                     jnp.asarray(mask), jnp.asarray(corr),
+                     t_pad=t_pad, u=u, b=b)
+
+    return call

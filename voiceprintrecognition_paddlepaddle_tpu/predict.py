@@ -103,8 +103,11 @@ class Predictor:
                 and getattr(self._audio_featurizer, "dither", 0.0) == 0.0):
             return None
         try:
-            from .models.pallas_campplus import make_campplus_embed_fn
+            from .models.pallas_campplus import (
+                make_campplus_embed_fn, make_campplus_masked_embed_fn)
             embed = make_campplus_embed_fn(self.model, self.variables)
+            self._embed_fast_masked = make_campplus_masked_embed_fn(
+                self.model, self.variables, self._audio_featurizer)
         except Exception:  # pragma: no cover - fall back to the XLA path
             return None
 
@@ -288,6 +291,11 @@ class Predictor:
                 # exact-length batch (e.g. equal diarization chunks):
                 # whole-trunk Pallas kernel, no padding mask needed
                 emb = self._embed_fast(jnp.asarray(waves))
+            elif self._embed_fast is not None:
+                # padded bucket: per-utterance pooling weights/masks are
+                # kernel inputs — same compiled program for any mix of
+                # lengths within the bucket
+                emb = self._embed_fast_masked(waves, ratios)
             else:
                 emb = self._jit_embed(jnp.asarray(waves),
                                       jnp.asarray(ratios))
