@@ -128,12 +128,27 @@ def main(argv=None):
     add_arg("threshold",     float, 0.6, "recognition threshold")
     add_arg("host",          str,   "127.0.0.1", "bind address")
     add_arg("port",          int,   8000, "port")
+    add_arg("use_gpu",       bool,  True, "use the accelerator (TPU)")
+    add_arg("warmup_seconds", str,  "", "comma-separated durations (e.g. "
+            "'3,5') to pre-compile the embed programs for before serving; "
+            "compiles persist in .jax_cache, so this is one-time per "
+            "machine")
     args = parser.parse_args(argv)
     print_arguments(args=args)
 
     predictor = Predictor(configs=args.configs, model_path=args.model_path,
                           audio_db_path=args.audio_db_path,
-                          threshold=args.threshold)
+                          threshold=args.threshold, use_gpu=args.use_gpu)
+    if args.warmup_seconds.strip():
+        import numpy as np
+        sr = 16000
+        for sec in args.warmup_seconds.split(","):
+            dur = float(sec)
+            print(f"warmup: compiling embed at {dur:g}s ...", flush=True)
+            wave = np.zeros((int(sr * dur),), np.float32)
+            wave[::321] = 0.05  # non-silent so VAD/normalize don't bail
+            predictor.predict(wave)
+        print("warmup done", flush=True)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(predictor))
     print(f"serving on http://{args.host}:{args.port}")
