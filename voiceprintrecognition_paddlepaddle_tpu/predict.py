@@ -282,12 +282,22 @@ class Predictor:
         for i in range(0, len(samples), batch_size):
             chunk = samples[i:i + batch_size]
             max_len = bucket_length(max(len(s) for s in chunk))
-            waves = np.zeros((len(chunk), max_len), np.float32)
-            ratios = np.empty((len(chunk),), np.float32)
+            # batch size snaps to a power-of-two bucket: a ragged final
+            # chunk must not mint a fresh compiled program per count
+            # (kernel compiles are minutes), while a single-clip predict
+            # still runs at batch 1; padding rows are discarded below
+            b_real = len(chunk)
+            b_pad = 1
+            while b_pad < b_real:
+                b_pad *= 2
+            waves = np.zeros((b_pad, max_len), np.float32)
+            ratios = np.ones((b_pad,), np.float32)
             for j, s in enumerate(chunk):
                 waves[j, :len(s)] = s
                 ratios[j] = len(s) / max_len
-            if self._embed_fast is not None and bool(np.all(ratios == 1.0)):
+            ratios_valid = ratios[:b_real]
+            if (self._embed_fast is not None
+                    and bool(np.all(ratios_valid == 1.0))):
                 # exact-length batch (e.g. equal diarization chunks):
                 # whole-trunk Pallas kernel, no padding mask needed
                 emb = self._embed_fast(jnp.asarray(waves))
@@ -299,7 +309,7 @@ class Predictor:
             else:
                 emb = self._jit_embed(jnp.asarray(waves),
                                       jnp.asarray(ratios))
-            features.append(np.asarray(emb))
+            features.append(np.asarray(emb)[:b_real])
         return np.concatenate(features, axis=0)
 
     def contrast(self, audio_data1, audio_data2):
