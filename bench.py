@@ -78,8 +78,12 @@ def train_throughput(model_name="EcapaTdnn", batch=64, amp=False,
 
     params, stats, opt_state = jax.jit(init_fn)()
 
-    def one_step(params, stats, opt_state):
-        feats = compute_feature(waves, "Fbank", sr=sr, n_mels=n_mels)
+    def one_step(params, stats, opt_state, loss_prev):
+        # waves derive from the carried loss so the Fbank computation is
+        # NOT loop-invariant: XLA's while-loop LICM would otherwise hoist
+        # featurization out of the loop and overstate data/sec
+        w = waves * (1.0 + loss_prev.astype(jnp.float32) * 1e-30)
+        feats = compute_feature(w, "Fbank", sr=sr, n_mels=n_mels)
 
         def loss_fn(p):
             emb, mb = model.apply(
@@ -103,8 +107,8 @@ def train_throughput(model_name="EcapaTdnn", batch=64, amp=False,
     @jax.jit
     def run(params, stats, opt_state):
         def body(i, carry):
-            params, stats, opt_state, _ = carry
-            return one_step(params, stats, opt_state)
+            params, stats, opt_state, loss_prev = carry
+            return one_step(params, stats, opt_state, loss_prev)
         return jax.lax.fori_loop(0, iters, body,
                                  (params, stats, opt_state, jnp.float32(0)))
 

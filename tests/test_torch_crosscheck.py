@@ -24,8 +24,10 @@ import sys
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
-import torch.nn.functional as tF
+
+torch = pytest.importorskip(
+    "torch", reason="cross-framework validation needs torch (CPU)")
+import torch.nn.functional as tF  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

@@ -168,6 +168,13 @@ class Mapper:
         # TAP / TSP: parameter-free
 
 
+POOL_CLS = {"ASP": "AttentiveStatisticsPooling_0",
+            "SAP": "SelfAttentivePooling_0",
+            "TAP": "TemporalAveragePooling_0",
+            "TSP": "TemporalStatisticsPooling_0"}
+POOL_N_STATS = {"ASP": 2, "TSP": 2, "SAP": 1, "TAP": 1}
+
+
 # ---------------------------------------------------------------------------
 # per-backbone specs — paddle attribute paths from /root/reference/ppvector/
 # models/*.py, flax names from voiceprintrecognition_paddlepaddle_tpu/models/
@@ -178,10 +185,7 @@ def spec_tdnn(input_size, channels=512, embd_dim=192, pooling_type="ASP"):
         m.conv1d(f"td_layer{i}", f"Conv_{i - 1}")
     for i in range(1, 5):
         m.bn(f"bn{i}", f"BatchNorm1d_{i - 1}/BatchNorm_0")
-    pool_cls = {"ASP": "AttentiveStatisticsPooling_0",
-                "SAP": "SelfAttentivePooling_0",
-                "TAP": "TemporalAveragePooling_0",
-                "TSP": "TemporalStatisticsPooling_0"}[pooling_type]
+    pool_cls = POOL_CLS[pooling_type]
     m.pooling_and_head("pooling", pool_cls, pooling_type)
     m.bn("bn5.norm", "BatchNorm1d_4/BatchNorm_0")
     m.dense("linear", "Dense_0")
@@ -210,10 +214,7 @@ def spec_ecapa_tdnn(input_size, embd_dim=192, pooling_type="ASP",
         m.conv1d(f"{p}.se_block.conv2.conv",
                  f"{f}/SEBlock_0/SamePadConv1d_1/Conv_0")
     m.tdnn_block("mfa", "TDNNBlock_1")
-    pool_cls = {"ASP": "AttentiveStatisticsPooling_0",
-                "SAP": "SelfAttentivePooling_0",
-                "TAP": "TemporalAveragePooling_0",
-                "TSP": "TemporalStatisticsPooling_0"}[pooling_type]
+    pool_cls = POOL_CLS[pooling_type]
     m.pooling_and_head("asp", pool_cls, pooling_type)
     # asp_bn is the BatchNorm1d *wrapper* for ASP but a bare nn.BatchNorm1D
     # for SAP/TAP/TSP (reference ecapa_tdnn.py:215-243)
@@ -256,12 +257,9 @@ def spec_res2net(input_size, m_channels=32, layers=(3, 4, 6, 3),
     c = m_channels * 8 * expansion
     f_dim = _conv_chain_res2net(input_size)
     perm = _flatten_perm(f_dim, c)
-    pool_cls = {"ASP": "AttentiveStatisticsPooling_0",
-                "SAP": "SelfAttentivePooling_0",
-                "TAP": "TemporalAveragePooling_0",
-                "TSP": "TemporalStatisticsPooling_0"}[pooling_type]
+    pool_cls = POOL_CLS[pooling_type]
     m.pooling_and_head("pooling", pool_cls, pooling_type, perm=perm)
-    n_stats = {"ASP": 2, "TSP": 2, "SAP": 1, "TAP": 1}[pooling_type]
+    n_stats = POOL_N_STATS[pooling_type]
     perm_n = _blocked(perm, n_stats, f_dim * c)
     m.bn("bn2.norm", "BatchNorm1d_0/BatchNorm_0", perm=perm_n)
     m.dense("linear", "Dense_0", perm_in=perm_n)
@@ -310,12 +308,9 @@ def spec_resnet_se(input_size, layers=(3, 4, 6, 3),
     c = num_filters[3] * expansion
     f_dim = input_size // 8
     perm = _flatten_perm(f_dim, c)
-    pool_cls = {"ASP": "AttentiveStatisticsPooling_0",
-                "SAP": "SelfAttentivePooling_0",
-                "TAP": "TemporalAveragePooling_0",
-                "TSP": "TemporalStatisticsPooling_0"}[pooling_type]
+    pool_cls = POOL_CLS[pooling_type]
     m.pooling_and_head("pooling", pool_cls, pooling_type, perm=perm)
-    n_stats = {"ASP": 2, "TSP": 2, "SAP": 1, "TAP": 1}[pooling_type]
+    n_stats = POOL_N_STATS[pooling_type]
     perm_n = _blocked(perm, n_stats, f_dim * c)
     m.bn("bn2.norm", "BatchNorm1d_0/BatchNorm_0", perm=perm_n)
     m.dense("linear", "Dense_0", perm_in=perm_n)

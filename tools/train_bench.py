@@ -57,8 +57,11 @@ def main(model_name="EcapaTdnn", batch=64, amp=False):
 
     params, stats, opt_state = jax.jit(init_fn)()
 
-    def one_step(params, stats, opt_state, waves, labels):
-        feats = compute_feature(waves, "Fbank", sr=sr, n_mels=n_mels)
+    def one_step(params, stats, opt_state, waves, labels, loss_prev):
+        # waves derive from the carried loss so featurization is NOT
+        # loop-invariant (XLA LICM would hoist it and overstate data/sec)
+        w = waves * (1.0 + loss_prev.astype(jnp.float32) * 1e-30)
+        feats = compute_feature(w, "Fbank", sr=sr, n_mels=n_mels)
 
         def loss_fn(p):
             emb, mb = model.apply(
@@ -81,8 +84,9 @@ def main(model_name="EcapaTdnn", batch=64, amp=False):
     @jax.jit
     def run(params, stats, opt_state, waves, labels):
         def body(i, carry):
-            params, stats, opt_state, _ = carry
-            return one_step(params, stats, opt_state, waves, labels)
+            params, stats, opt_state, loss_prev = carry
+            return one_step(params, stats, opt_state, waves, labels,
+                            loss_prev)
         return jax.lax.fori_loop(0, ITERS, body,
                                  (params, stats, opt_state, jnp.float32(0)))
 

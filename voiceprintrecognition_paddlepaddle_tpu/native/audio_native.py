@@ -38,13 +38,19 @@ def _build():
            "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        with open(_HASH_PATH, "w") as f:
-            f.write(_src_hash())
-        return True
     except Exception as e:
         logger.warning(f"native audioio build failed ({e}); "
                        f"using the Python decode path")
         return False
+    try:
+        # the hash only gates rebuilds — a failed write (read-only install
+        # dir) must not discard the freshly built, working library
+        with open(_HASH_PATH, "w") as f:
+            f.write(_src_hash())
+    except OSError as e:
+        logger.warning(f"could not record native build hash ({e}); "
+                       f"the library will be rebuilt next start")
+    return True
 
 
 def _stale():

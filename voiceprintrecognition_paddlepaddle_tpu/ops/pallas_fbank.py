@@ -126,21 +126,18 @@ def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
         w = jnp.pad(w, ((0, 0), (0, need - w.shape[-1])))
     x = w.reshape(b, rows_u, shift)
 
-    # utterances per grid step: keep block rows ~2k and sublane-aligned
+    # utterances per grid step: keep block rows ~2k and sublane-aligned;
+    # candidates must divide the batch, so no batch padding is needed
     u = 1
     for cand in (16, 8, 4, 2):
         if b % cand == 0 and cand * rows_u <= 2048 and (cand * rows_u) % 8 == 0:
             u = cand
             break
-    b_pad = -(-b // u) * u if (b % u) else b
-    if b_pad != b:
-        x = jnp.concatenate(
-            [x, jnp.zeros((b_pad - b, rows_u, shift), jnp.float32)])
+    b_pad = b
     rows = u * rows_u
     if rows % 8:
-        # fall back: single-utterance blocks padded to 8 rows
-        u, rows = 1, rows_u
-        pad_r = (-rows_u) % 8
+        # fall back: single-utterance blocks padded to a sublane multiple
+        u, pad_r = 1, (-rows_u) % 8
         x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0)))
         rows = rows_u + pad_r
     x = x.reshape(-1, shift)

@@ -70,6 +70,10 @@ class Predictor:
         logger.info(f"loaded model weights: {model_path}")
 
         self._jit_embed = jax.jit(self._embed_impl)
+        # longest bucket served by the Pallas trunk kernel: 4 s at 16 kHz
+        # (t_pad 224 -> 1792 rows/step; beyond this Mosaic compile time
+        # and VMEM grow superlinearly — see models/pallas_campplus.py)
+        self._FAST_PATH_MAX_SAMPLES = 64000
         self._embed_fast = self._maybe_make_fast_embed()
 
         # voiceprint database state (reference ``predict.py:69-86``)
@@ -108,7 +112,10 @@ class Predictor:
             embed = make_campplus_embed_fn(self.model, self.variables)
             self._embed_fast_masked = make_campplus_masked_embed_fn(
                 self.model, self.variables, self._audio_featurizer)
-        except Exception:  # pragma: no cover - fall back to the XLA path
+        except Exception as e:  # pragma: no cover - fall back to XLA path
+            logger.warning(
+                f"Pallas fast inference path disabled ({e!r}); "
+                "falling back to the XLA path (~30% slower)")
             return None
 
         @jax.jit
@@ -296,12 +303,17 @@ class Predictor:
                 waves[j, :len(s)] = s
                 ratios[j] = len(s) / max_len
             ratios_valid = ratios[:b_real]
-            if (self._embed_fast is not None
-                    and bool(np.all(ratios_valid == 1.0))):
+            # the trunk kernel's Mosaic compile time grows superlinearly
+            # with rows-per-step; clips bucketed above ~4 s would trigger
+            # tens-of-minutes compiles (or VMEM pressure) on first use, so
+            # long audio stays on the XLA path
+            fast_ok = (self._embed_fast is not None
+                       and max_len <= self._FAST_PATH_MAX_SAMPLES)
+            if fast_ok and bool(np.all(ratios_valid == 1.0)):
                 # exact-length batch (e.g. equal diarization chunks):
                 # whole-trunk Pallas kernel, no padding mask needed
                 emb = self._embed_fast(jnp.asarray(waves))
-            elif self._embed_fast is not None:
+            elif fast_ok:
                 # padded bucket: per-utterance pooling weights/masks are
                 # kernel inputs — same compiled program for any mix of
                 # lengths within the bucket

@@ -209,6 +209,15 @@ class Trainer:
                     f"batch_size {bs} not divisible by "
                     f"{jax.device_count()} devices; using a {n_dev}-device "
                     f"data-parallel mesh")
+        if n_dev != jax.device_count() and jax.process_count() > 1:
+            # slicing the global device list would exclude whole hosts,
+            # leaving their processes with no addressable device in the
+            # mesh; multi-host runs must use every device (pad the batch
+            # or set a divisible batch_size instead)
+            logger.warning(
+                "ignoring num_devices/batch mesh cap in a multi-host run; "
+                "using all devices")
+            n_dev = jax.device_count()
         self.mesh = create_mesh(jax.devices()[:n_dev])
         self.model = build_model(input_size=input_size, configs=self.configs,
                                  dtype=self.amp_dtype)
@@ -780,9 +789,21 @@ class Trainer:
                        "export_batch": export_batch,
                        "export_seconds": export_seconds},
                       f, indent=2)
-        # serialized StableHLO of wav -> embedding (weights baked in)
+        # serialized StableHLO of wav -> embedding (weights baked in).
+        # Force the jnp fbank path: the Pallas kernel neither lowers with a
+        # symbolic batch dim nor serializes its tpu_custom_call portably.
         try:
-            featurize = self.audio_featurizer.featurize
+            featurizer = self.audio_featurizer
+            if (self.configs.preprocess_conf.feature_method == "Fbank"):
+                from .ops.features import compute_feature
+
+                def featurize(waves):
+                    return compute_feature(
+                        waves, "Fbank", use_pallas=False,
+                        **dict(self.configs.preprocess_conf.get(
+                            "method_args", {})))
+            else:
+                featurize = featurizer.featurize
             variables = {"params": self.state.params["backbone"],
                          "batch_stats": self.state.batch_stats["backbone"]}
             model = self.model
