@@ -87,6 +87,28 @@ def main():
         ms = chained_ms(fn, waves)
         print(f"{name:24s} {ms:7.2f} ms  ({args.batch / ms * 1000:8.0f} utt/s)")
 
+    # masked padded-batch path (what Predictor.predict_batch serves)
+    from voiceprintrecognition_paddlepaddle_tpu.models.pallas_campplus import (
+        make_campplus_masked_embed_fn)
+    from voiceprintrecognition_paddlepaddle_tpu.ops.features import (
+        AudioFeaturizer)
+    feat = AudioFeaturizer("Fbank", {"sr": sr, "n_mels": 80})
+    masked = make_campplus_masked_embed_fn(model, variables, feat)
+    w = np.asarray(waves[:16])
+    lens = rng.randint(int(0.4 * w.shape[1]), w.shape[1] + 1, size=16)
+    ratios = (lens / w.shape[1]).astype(np.float32)
+    for i, n in enumerate(lens):
+        w[i, n:] = 0.0
+    got = np.asarray(masked(w, ratios), np.float32)
+    i = 0
+    f1 = feat.featurize(jnp.asarray(w[i:i + 1, :int(lens[i])]))
+    exact = np.asarray(model.apply(variables, f1, train=False),
+                       np.float32)[0]
+    c = ((exact * got[i]).sum() / np.linalg.norm(exact)
+         / np.linalg.norm(got[i]))
+    print(f"masked path vs exact-length embed: cos {c:.6f}")
+    assert c > 0.999, "masked kernel path numerics drifted"
+
 
 if __name__ == "__main__":
     main()
