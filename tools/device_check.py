@@ -94,7 +94,8 @@ def main():
         AudioFeaturizer)
     feat = AudioFeaturizer("Fbank", {"sr": sr, "n_mels": 80})
     masked = make_campplus_masked_embed_fn(model, variables, feat)
-    w = np.asarray(waves[:16])
+    w = np.array(waves[:16])  # writable copy (np.asarray of a jax.Array
+    # can return a read-only view)
     lens = rng.randint(int(0.4 * w.shape[1]), w.shape[1] + 1, size=16)
     ratios = (lens / w.shape[1]).astype(np.float32)
     for i, n in enumerate(lens):
