@@ -123,6 +123,16 @@ def test_train_eval_resume(workdir, tmp_path):
                    log_dir=str(tmp_path / "log2"), do_eval=False)
     assert os.path.exists(os.path.join(ckpt, "epoch_3"))
     assert int(trainer2.state.step) > 0
+    # the resumed run must continue the (seed, epoch) sample stream, not
+    # replay epoch 0's batch order: the sampler was fast-forwarded to
+    # last_epoch=2 before its single epoch (which advanced it to 3)
+    assert trainer2.train_loader.batch_sampler.epoch == 3
+    from voiceprintrecognition_paddlepaddle_tpu.data_utils.pk_sampler import \
+        BatchSampler
+    s0 = BatchSampler(trainer2.train_dataset, batch_size=8, seed=1000)
+    s2 = BatchSampler(trainer2.train_dataset, batch_size=8, seed=1000)
+    s2.set_epoch(2)
+    assert list(s0) != list(s2)
 
 
 def test_feature_mode_train_step_uses_length_masks(workdir, tmp_path):

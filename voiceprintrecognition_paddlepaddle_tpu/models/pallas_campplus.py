@@ -48,6 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 # "nocam" skips the context gate, "nolocal" the local conv, "nolin1" the
 # wide affine+bottleneck matmul
 _ABLATE = os.environ.get("VPR_TRUNK_ABLATE", "")
+if _ABLATE:  # pragma: no cover - debug-only path
+    from ..utils.logger import logger as _logger
+    _logger.warning(
+        "VPR_TRUNK_ABLATE=%r is set: the Pallas CAM++ trunk will produce "
+        "WRONG embeddings (perf-triage mode). Unset it for real inference.",
+        _ABLATE)
 
 __all__ = ["pack_trunk", "trunk_stats_pallas", "campplus_embed_pallas",
            "trunk_plan", "trunk_geometry", "trunk_stats_from_parts",

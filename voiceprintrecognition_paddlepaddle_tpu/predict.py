@@ -104,6 +104,10 @@ class Predictor:
                 and getattr(self.model, "growth_rate", None) == 32
                 and getattr(self.model, "init_channels", None) == 128
                 and getattr(self.model, "bn_size", None) == 4
+                # the packed trunk assumes the stock 80-mel Fbank front
+                # end (FCM output 320 = 32 ch x 80/8 freqs)
+                and self.configs.preprocess_conf.feature_method == "Fbank"
+                and self._audio_featurizer.feature_dim == 80
                 and getattr(self._audio_featurizer, "dither", 0.0) == 0.0):
             return None
         try:

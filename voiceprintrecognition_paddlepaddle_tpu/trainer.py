@@ -285,6 +285,16 @@ class Trainer:
         # params replicated across the mesh
         state_sharding = replicated_sharding(self.mesh)
         self.state = jax.jit(init_fn, out_shardings=state_sharding)()
+        rank, _ = local_process_info()
+        if rank == 0 and is_train:
+            # per-layer summary table at setup, like the reference's
+            # ``paddle.summary`` call (reference ``ppvector/trainer.py:200``)
+            try:
+                print(self.model.tabulate(
+                    rng, probe, train=False, depth=3,
+                    console_kwargs={"width": 120, "force_terminal": False}))
+            except Exception as e:  # pragma: no cover - cosmetic only
+                logger.warning(f"model summary unavailable: {e}")
         n = _count_params(self.state.params["backbone"])
         logger.info(f"backbone parameters: {n / 1e6:.2f}M "
                     f"({self.configs.model_conf.model})")
@@ -432,6 +442,11 @@ class Trainer:
             last_epoch, best_eer = 0, 1.0
         if self.margin_scheduler:
             self.margin_scheduler.step(current_step=int(self.state.step))
+        if last_epoch:
+            # resume continues the (seed, epoch) sample stream where it
+            # left off instead of replaying epoch 0's batch order (the
+            # reference got this implicitly from its scheduler replay)
+            self.train_loader.batch_sampler.set_epoch(last_epoch)
 
         logger.info(f"train data: {len(self.train_dataset)}, "
                     f"devices: {jax.device_count()} "

@@ -43,7 +43,10 @@ class AsyncSaver:
     """
 
     def __init__(self):
-        self._q = queue.Queue()
+        # bounded: each queued closure holds a full host copy of
+        # model+optimizer state; a slow disk must backpressure the trainer
+        # rather than accumulate snapshots in RAM
+        self._q = queue.Queue(maxsize=2)
         self._err = None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -56,7 +59,8 @@ class AsyncSaver:
                 return
             try:
                 fn()
-            except Exception as e:  # noqa: BLE001 - reported on next call
+            except Exception as e:  # noqa: BLE001 - also raised on next call
+                logger.error(f"async checkpoint write failed: {e!r}")
                 self._err = e
             finally:
                 self._q.task_done()
