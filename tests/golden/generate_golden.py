@@ -37,13 +37,31 @@ SR = 16000
 # ---------------------------------------------------------------------------
 # kaldi fbank  (torchaudio.compliance.kaldi.fbank algorithm, float64)
 # ---------------------------------------------------------------------------
+def vtln_warp_freq_torch(vtln_low, vtln_high, low_freq, high_freq,
+                         warp, freq):
+    """kaldi mel-computations.cc VtlnWarpFreq (piecewise linear)."""
+    l = vtln_low * max(1.0, warp)
+    h = vtln_high * min(1.0, warp)
+    scale = 1.0 / warp
+    fl, fh = scale * l, scale * h
+    scale_left = (fl - low_freq) / (l - low_freq)
+    scale_right = (high_freq - fh) / (high_freq - h)
+    res = torch.where(freq < h, scale * freq,
+                      high_freq + scale_right * (freq - high_freq))
+    res = torch.where(freq < l,
+                      low_freq + scale_left * (freq - low_freq), res)
+    return torch.where((freq < low_freq) | (freq > high_freq), freq, res)
+
+
 def kaldi_mel_banks_torch(num_bins, window_length_padded, sample_freq,
-                          low_freq=20.0, high_freq=0.0):
-    """torchaudio ``get_mel_banks`` (kaldi mel-computations.cc), vtln off.
+                          low_freq=20.0, high_freq=0.0, vtln_warp=1.0,
+                          vtln_low=100.0, vtln_high=-500.0):
+    """torchaudio ``get_mel_banks`` (kaldi mel-computations.cc).
 
     Triangles are linear in kaldi-mel 1127*ln(1+f/700) over the first
     ``window_length_padded//2`` fft bins; torchaudio then right-pads one
-    zero column for the Nyquist bin.
+    zero column for the Nyquist bin. ``vtln_warp != 1`` warps each
+    triangle's left/center/right mel points.
     """
     num_fft_bins = window_length_padded // 2
     nyquist = 0.5 * sample_freq
@@ -62,6 +80,18 @@ def kaldi_mel_banks_torch(num_bins, window_length_padded, sample_freq,
     left_mel = mel_low + bin_idx * mel_freq_delta
     center_mel = left_mel + mel_freq_delta
     right_mel = center_mel + mel_freq_delta
+    if vtln_warp != 1.0:
+        if vtln_high < 0.0:
+            vtln_high += nyquist
+
+        def warp_mel(m):
+            freq = 700.0 * (torch.exp(m / 1127.0) - 1.0)
+            return mel_scale(vtln_warp_freq_torch(
+                vtln_low, vtln_high, low_freq, high_freq, vtln_warp, freq))
+
+        left_mel = warp_mel(left_mel)
+        center_mel = warp_mel(center_mel)
+        right_mel = warp_mel(right_mel)
 
     mel = mel_scale(fft_bin_width
                     * torch.arange(num_fft_bins, dtype=torch.float64))
@@ -76,21 +106,45 @@ def kaldi_mel_banks_torch(num_bins, window_length_padded, sample_freq,
 def kaldi_fbank_torch(wave, sr=SR, num_mel_bins=23, frame_length=25.0,
                       frame_shift=10.0, preemphasis_coefficient=0.97,
                       remove_dc_offset=True, window_type="povey",
-                      use_power=True, use_log_fbank=True):
-    """torchaudio.compliance.kaldi.fbank with dither=0, snip_edges=True,
-    round_to_power_of_two=True, use_energy=False — the defaults the
-    reference hits. float64 throughout (high-precision golden)."""
+                      use_power=True, use_log_fbank=True, snip_edges=True,
+                      use_energy=False, raw_energy=True, htk_compat=False,
+                      energy_floor=1.0, vtln_warp=1.0):
+    """torchaudio.compliance.kaldi.fbank with dither=0 and
+    round_to_power_of_two=True; float64 throughout (high-precision
+    golden). Covers the full option surface the reference's
+    ``method_args`` passthrough exposes: snip_edges=False (reflected
+    edges), use_energy/raw_energy/htk_compat, VTLN warp."""
     wave = torch.as_tensor(np.asarray(wave), dtype=torch.float64)
     window_shift = int(sr * frame_shift * 0.001)
     window_size = int(sr * frame_length * 0.001)
     padded_window_size = 1 << (window_size - 1).bit_length()
 
-    # _get_strided, snip_edges=True: m = 1 + (n - window_size) // shift
-    m = 1 + (wave.numel() - window_size) // window_shift
-    strided = wave.as_strided((m, window_size), (window_shift, 1)).clone()
+    if snip_edges:
+        # _get_strided, snip_edges=True: m = 1 + (n-window_size) // shift
+        m = 1 + (wave.numel() - window_size) // window_shift
+        strided = wave.as_strided((m, window_size), (window_shift, 1)).clone()
+    else:
+        # torchaudio _get_strided snip_edges=False: reflect `pad` samples
+        # on the left, append the whole reversed waveform, stride m frames
+        num_samples = wave.numel()
+        m = (num_samples + window_shift // 2) // window_shift
+        pad = window_size // 2 - window_shift // 2
+        reversed_wave = torch.flip(wave, [0])
+        padded = torch.cat((reversed_wave[-pad:], wave, reversed_wave))
+        strided = padded.as_strided((m, window_size),
+                                    (window_shift, 1)).clone()
 
     if remove_dc_offset:
         strided = strided - strided.mean(dim=1, keepdim=True)
+
+    def log_energy(x):
+        e = torch.clamp(x.pow(2).sum(dim=1),
+                        min=torch.finfo(torch.float32).eps).log()
+        if energy_floor > 0.0:
+            e = torch.clamp(e, min=math.log(energy_floor))
+        return e
+
+    energy = log_energy(strided) if (use_energy and raw_energy) else None
     if preemphasis_coefficient != 0.0:
         # replicate-pad the first column: frame[0] -= coeff * frame[0]
         offset = torch.nn.functional.pad(
@@ -107,6 +161,8 @@ def kaldi_fbank_torch(wave, sr=SR, num_mel_bins=23, frame_length=25.0,
     else:
         raise ValueError(window_type)
     strided = strided * window
+    if use_energy and not raw_energy:
+        energy = log_energy(strided)
 
     if padded_window_size != window_size:
         strided = torch.nn.functional.pad(
@@ -116,12 +172,17 @@ def kaldi_fbank_torch(wave, sr=SR, num_mel_bins=23, frame_length=25.0,
     if use_power:
         spectrum = spectrum.pow(2.0)
 
-    mel_banks = kaldi_mel_banks_torch(num_mel_bins, padded_window_size, sr)
+    mel_banks = kaldi_mel_banks_torch(num_mel_bins, padded_window_size, sr,
+                                      vtln_warp=vtln_warp)
     mel_energies = torch.mm(spectrum, mel_banks.T)
     if use_log_fbank:
         # torchaudio floors at float32 eps regardless of compute dtype
         eps = torch.finfo(torch.float32).eps
         mel_energies = torch.clamp(mel_energies, min=eps).log()
+    if use_energy:
+        e = energy.unsqueeze(1)
+        mel_energies = (torch.cat((mel_energies, e), dim=1) if htk_compat
+                        else torch.cat((e, mel_energies), dim=1))
     return mel_energies.numpy()
 
 
@@ -232,6 +293,22 @@ def main():
         remove_dc_offset=False)
     out["fbank_40_linear"] = kaldi_fbank_torch(
         w64, num_mel_bins=40, use_power=False)
+    # the reference's method_args passthrough option surface
+    out["fbank_40_nosnip"] = kaldi_fbank_torch(
+        w64, num_mel_bins=40, snip_edges=False)
+    out["fbank_40_energy"] = kaldi_fbank_torch(
+        w64, num_mel_bins=40, use_energy=True)
+    out["fbank_40_energy_win"] = kaldi_fbank_torch(
+        w64, num_mel_bins=40, use_energy=True, raw_energy=False,
+        energy_floor=0.0)
+    out["fbank_40_energy_htk"] = kaldi_fbank_torch(
+        w64, num_mel_bins=40, use_energy=True, htk_compat=True)
+    out["fbank_40_vtln_0p9"] = kaldi_fbank_torch(
+        w64, num_mel_bins=40, vtln_warp=0.9)
+    out["fbank_40_vtln_1p1"] = kaldi_fbank_torch(
+        w64, num_mel_bins=40, vtln_warp=1.1)
+    out["kaldi_bank_40_512_vtln_0p9"] = kaldi_mel_banks_torch(
+        40, 512, SR, vtln_warp=0.9).numpy()
     out["spectrogram_mag"] = stft_torch(w64, n_fft=512, power=1.0)
     out["mel_64"] = mel_spectrogram_torch(w64, n_mels=64)
     logmel_128 = power_to_db(mel_spectrogram_torch(w64, n_mels=128))

@@ -55,12 +55,39 @@ def _log_compare(got, ref, power_rtol=3e-2, log_atol=2e-2, active=-4.0):
     ("fbank_40_nopre", 40, dict(preemphasis_coefficient=0.0,
                                 remove_dc_offset=False)),
     ("fbank_40_linear", 40, dict(use_power=False)),
+    ("fbank_40_nosnip", 40, dict(snip_edges=False)),
+    ("fbank_40_energy", 40, dict(use_energy=True)),
+    ("fbank_40_energy_win", 40, dict(use_energy=True, raw_energy=False,
+                                     energy_floor=0.0)),
+    ("fbank_40_energy_htk", 40, dict(use_energy=True, htk_compat=True)),
+    ("fbank_40_vtln_0p9", 40, dict(vtln_warp=0.9)),
+    ("fbank_40_vtln_1p1", 40, dict(vtln_warp=1.1)),
 ])
 def test_fbank_matches_torch_golden(golden, key, n_mels, kwargs):
     wave = golden["wave"]
     got = np.asarray(kaldi.fbank(wave[None], sr=16000, n_mels=n_mels,
                                  **kwargs))[0]
     _log_compare(got, golden[key])
+
+
+def test_vtln_mel_bank_matches_torch_golden(golden):
+    got = kaldi._kaldi_mel_banks_np(40, 512, 16000, vtln_warp=0.9)
+    ref = golden["kaldi_bank_40_512_vtln_0p9"].T
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_featurizer_option_surface_consistency(golden):
+    """A ported reference config using the method_args passthrough options
+    (snip_edges=False, use_energy) must run with self-consistent
+    feature_dim / num_frames (reference featurizer.py:83-101)."""
+    wave = golden["wave"]
+    feat = AudioFeaturizer("Fbank", {"sr": 16000, "n_mels": 40,
+                                     "snip_edges": False,
+                                     "use_energy": True})
+    got = np.asarray(feat(wave[None]))[0]
+    assert got.shape == (feat.num_frames(len(wave)), feat.feature_dim)
+    assert got.shape == (100, 41)
 
 
 def test_featurizer_fbank_is_golden_plus_cmn(golden):

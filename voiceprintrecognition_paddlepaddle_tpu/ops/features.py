@@ -294,7 +294,10 @@ class AudioFeaturizer:
         if m == "MFCC":
             return args.get("n_mfcc", 40)
         if m == "Fbank":
-            return args.get("n_mels", 23)
+            # use_energy adds a frame-energy column (the reference's
+            # feature_dim ignores it and would crash downstream)
+            return (args.get("n_mels", 23)
+                    + (1 if args.get("use_energy", False) else 0))
         raise ValueError(m)
 
     @property
@@ -310,7 +313,9 @@ class AudioFeaturizer:
         if self._feature_method == "Fbank":
             fl = int(sr * a.get("frame_length", 25.0) / 1000)
             fs = int(sr * a.get("frame_shift", 10.0) / 1000)
-            return kaldi.num_frames_snip_edges(num_samples, fl, fs)
+            return kaldi.num_frames_kaldi(
+                num_samples, fl, fs,
+                snip_edges=a.get("snip_edges", True))
         n_fft = a.get("n_fft", 512)
         win = a.get("win_length") or n_fft
         hop = a.get("hop_length") or win // 4
