@@ -120,6 +120,105 @@ def test_speed_perturb_changes_length_and_label():
     assert len(seen_lens) == 3  # 16000, ~17778, ~14545
 
 
+def test_speed_perturb_is_antialiased():
+    """A 6 kHz tone stretched to 1.1x must come out as a clean ~6.6 kHz
+    tone: polyphase resampling keeps out-of-band energy tiny where the
+    old linear interp aliased the top octave."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 6000.0 * t).astype(np.float32)
+    out = SpeedPerturbAugmentor.resample(tone, 1.1)
+    assert len(out) == int(sr / 1.1)
+    # the stretched samples are played back at the original rate, so the
+    # tone lands at 6000 * 1.1 = 6600 Hz
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    freqs = np.fft.rfftfreq(len(out), d=1.0 / sr)
+    peak = freqs[np.argmin(np.abs(freqs - 6600.0))]
+    inband = np.abs(freqs - peak) < 100.0
+    # ignore DC/edge leakage below 100 Hz
+    band_ratio = (spec[~inband & (freqs > 100)] ** 2).sum() \
+        / (spec[inband] ** 2).sum()
+    assert band_ratio < 1e-3, f"aliased energy ratio {band_ratio:.2e}"
+    # and the perceived pitch is 1.1x
+    assert abs(freqs[np.argmax(spec)] - 6600.0) < 50.0
+
+
+def test_audio_bank_refresh_and_pad_modes(tmp_path):
+    from voiceprintrecognition_paddlepaddle_tpu.ops.audio import AudioSegment
+    from voiceprintrecognition_paddlepaddle_tpu.ops.augment import AudioBank
+    rng = np.random.RandomState(0)
+    d = tmp_path / "noise"
+    d.mkdir()
+    for i in range(6):  # long clips: 2 s each, bank rows are 1 s
+        AudioSegment(rng.randn(32000).astype(np.float32) * 0.1,
+                     16000).to_wav_file(str(d / f"n{i}.wav"))
+    bank = AudioBank(str(d), 16000, 1.0, max_clips=3)
+    b0 = np.asarray(bank.bank(0))
+    b1 = np.asarray(bank.bank(1))
+    assert b0.shape == (3, 16000) and b1.shape == (3, 16000)
+    # refresh rotated files and/or crop windows
+    assert not np.allclose(b0, b1)
+    # caching: same epoch returns the same array
+    assert bank.bank(1) is bank.bank(1)
+
+    # zero pad mode must not tile (RIR semantics)
+    r = tmp_path / "rir"
+    r.mkdir()
+    impulse = np.zeros(4000, np.float32)
+    impulse[0] = 1.0
+    AudioSegment(impulse, 16000).to_wav_file(str(r / "r0.wav"))
+    rb = np.asarray(AudioBank(str(r), 16000, 1.0, pad_mode="zero").bank())
+    assert rb.shape == (1, 16000)
+    assert np.abs(rb[0, 8000:]).max() == 0.0  # zero tail, no tiled echo
+
+
+def test_noise_mix_random_segment_coverage(tmp_path):
+    """Per-sample random offsets: with a single noise clip whose energy
+    is a one-hot burst, the burst must land at different positions across
+    the batch (the reference draws a random segment per sample), while
+    the achieved SNR stays near the request."""
+    from voiceprintrecognition_paddlepaddle_tpu.ops.audio import AudioSegment
+    d = tmp_path / "noise"
+    d.mkdir()
+    clip = np.zeros(16000, np.float32)
+    clip[:800] = np.random.RandomState(0).randn(800) * 0.5  # leading burst
+    AudioSegment(clip, 16000).to_wav_file(str(d / "n0.wav"))
+    aug_conf = {"noise": {"prob": 1.0, "noise_dir": str(d),
+                          "min_snr_dB": 15, "max_snr_dB": 15}}
+    aug = DeviceAugmenter(aug_conf, sample_rate=16000, clip_seconds=1)
+    rng = np.random.RandomState(1)
+    waves = rng.randn(16, 16000).astype(np.float32) * 0.1
+    out = np.asarray(aug(waves, jax.random.PRNGKey(0)))
+    added = out - waves
+    # burst positions differ across the batch
+    positions = np.argmax(np.abs(added) > 1e-4, axis=1)
+    assert len(np.unique(positions)) >= 8, positions
+    # achieved SNR ~= 15 dB per sample
+    snr = 10 * np.log10((waves ** 2).mean(axis=1)
+                        / (added ** 2).mean(axis=1))
+    assert np.allclose(snr, 15.0, atol=1.0), snr
+
+
+def test_device_augmenter_banks_as_jit_args(tmp_path):
+    """Banks passed as traced args (the per-epoch refresh path) give the
+    same result as the captured-constant path."""
+    from voiceprintrecognition_paddlepaddle_tpu.ops.audio import AudioSegment
+    d = tmp_path / "noise"
+    d.mkdir()
+    AudioSegment(np.random.RandomState(0).randn(16000).astype(np.float32)
+                 * 0.1, 16000).to_wav_file(str(d / "n0.wav"))
+    aug_conf = {"noise": {"prob": 1.0, "noise_dir": str(d),
+                          "min_snr_dB": 10, "max_snr_dB": 20}}
+    aug = DeviceAugmenter(aug_conf, sample_rate=16000, clip_seconds=1)
+    waves = np.random.RandomState(1).randn(4, 16000).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(0)
+    ref = np.asarray(aug(waves, key))
+    got = np.asarray(jax.jit(
+        lambda w, k, banks: aug(w, k, banks=banks))(
+            waves, key, aug.device_banks(0)))
+    assert np.allclose(ref, got, atol=1e-6)
+
+
 def test_device_augmenter_passthrough_and_banks(tmp_path):
     # build a noise bank dir with one clip
     from voiceprintrecognition_paddlepaddle_tpu.ops.audio import AudioSegment

@@ -24,23 +24,28 @@ import numpy as np
 
 from .audio import AudioSegment
 
-__all__ = ["SpeedPerturbAugmentor", "DeviceAugmenter", "load_audio_bank",
-           "spec_augment", "mix_noise", "apply_reverb", "normalize_db",
-           "rms_db"]
+__all__ = ["SpeedPerturbAugmentor", "DeviceAugmenter", "AudioBank",
+           "load_audio_bank", "spec_augment", "mix_noise", "apply_reverb",
+           "normalize_db", "rms_db"]
 
 
 # ----------------------------------------------------------------------
 # host-side: speed perturbation (changes length)
 # ----------------------------------------------------------------------
 class SpeedPerturbAugmentor:
-    """Random speed in {0.9, 1.0, 1.1} via linear-interp resampling.
+    """Random speed in {0.9, 1.0, 1.1} via polyphase resampling.
 
     yeaudio-equivalent used at reference ``reader.py:141-151``; with
     ``speed_perturb_3_class`` the label becomes ``spk_id * 3 + idx`` and the
-    classifier grows 3x (reference ``trainer.py:169-173``).
+    classifier grows 3x (reference ``trainer.py:169-173``). Resampling is
+    ``scipy.signal.resample_poly`` (anti-aliased; at 1.1x a linear interp
+    aliases the top octave) with a linear-interp fallback when scipy is
+    unavailable; output length is exactly ``int(len / speed)``.
     """
 
     SPEEDS = (1.0, 0.9, 1.1)
+    # up/down polyphase ratios for 1/speed
+    _RATIOS = {0.9: (10, 9), 1.1: (10, 11)}
 
     def __init__(self, prob=1.0, speed_perturb_3_class=False,
                  num_speakers=None, **kwargs):
@@ -48,43 +53,122 @@ class SpeedPerturbAugmentor:
         self.speed_perturb_3_class = speed_perturb_3_class
         self.num_speakers = num_speakers
 
+    @classmethod
+    def resample(cls, samples, speed):
+        """Time-stretch by 1/speed with anti-aliasing."""
+        old_len = len(samples)
+        new_len = int(old_len / speed)
+        try:
+            from scipy.signal import resample_poly
+            up, down = cls._RATIOS[speed]
+            out = resample_poly(np.asarray(samples, np.float64), up, down)
+            if len(out) < new_len:
+                out = np.pad(out, (0, new_len - len(out)))
+            return out[:new_len].astype(np.float32)
+        except ImportError:  # pragma: no cover - scipy is in the image
+            old_idx = np.linspace(0, old_len - 1, new_len)
+            return np.interp(old_idx, np.arange(old_len),
+                             samples).astype(np.float32)
+
     def __call__(self, samples, spk_id, rng: random.Random = random):
         if rng.random() >= self.prob:
             return samples, spk_id
         idx = rng.randint(0, 2)
         speed = self.SPEEDS[idx]
         if speed != 1.0:
-            old_len = len(samples)
-            new_len = int(old_len / speed)
-            old_idx = np.linspace(0, old_len - 1, new_len)
-            samples = np.interp(old_idx, np.arange(old_len),
-                                samples).astype(np.float32)
+            samples = self.resample(samples, speed)
         if self.speed_perturb_3_class:
             spk_id = spk_id * 3 + idx
         return samples, spk_id
 
 
-def load_audio_bank(audio_dir, sample_rate, clip_seconds, max_clips=256):
-    """Load a directory of wavs into a fixed-shape ``(N, L)`` bank for
-    on-device noise/reverb augmentation. Short clips tile-repeat, long
-    clips crop. Returns None when the directory is missing/empty."""
+class AudioBank:
+    """A refreshable fixed-shape ``(N, L)`` device bank of audio clips for
+    on-device noise/reverb augmentation.
+
+    The reference draws a random file AND a random segment per training
+    sample from the whole corpus (yeaudio NoisePerturb/ReverbPerturb at
+    reference ``reader.py:154-163``). Device-side we keep a fixed-shape
+    bank (static shapes for jit) and recover the reference's coverage with
+    two mechanisms: a per-sample random circular offset applied on device
+    (segment coverage within a clip), and — for corpora larger than
+    ``max_clips`` — a per-epoch ``refresh`` that reloads a different
+    random subset of files with a random crop window each (file + segment
+    coverage across epochs).
+
+    ``pad_mode``: "tile" repeats short clips (noise); "zero" zero-pads
+    (RIRs — tiling an impulse response would fabricate echoes).
+    """
+
+    def __init__(self, audio_dir, sample_rate, clip_seconds, max_clips=256,
+                 pad_mode="tile", seed=0):
+        self.paths = sorted(
+            os.path.join(audio_dir, f) for f in os.listdir(audio_dir)
+            if f.lower().endswith((".wav", ".flac")))
+        self.sample_rate = sample_rate
+        self.length = int(clip_seconds * sample_rate)
+        self.max_clips = int(max_clips)
+        self.pad_mode = pad_mode
+        self.seed = seed
+        self._bank = None
+        self._epoch = None
+
+    def __bool__(self):
+        return bool(self.paths)
+
+    @property
+    def needs_refresh(self):
+        """True when the corpus exceeds the bank (refresh draws new
+        files) or clips are longer than the bank rows (refresh draws new
+        crop windows)."""
+        return len(self.paths) > self.max_clips or self._has_long_clips
+
+    def bank(self, epoch=0):
+        """The ``(N, L)`` device bank for this epoch (cached; reloaded on
+        a new epoch only when a refresh would change the contents)."""
+        if self._bank is not None and (
+                epoch == self._epoch or not self.needs_refresh):
+            return self._bank
+        rng = np.random.RandomState((self.seed + 7919 * epoch) % (2 ** 31))
+        if len(self.paths) > self.max_clips:
+            idx = rng.choice(len(self.paths), self.max_clips, replace=False)
+            paths = [self.paths[i] for i in sorted(idx)]
+        else:
+            paths = self.paths
+        bank = np.zeros((len(paths), self.length), dtype=np.float32)
+        self._has_long_clips = False
+        for i, p in enumerate(paths):
+            seg = AudioSegment.from_file(p)
+            seg.resample(self.sample_rate)
+            s = seg.samples
+            if len(s) < self.length:
+                if self.pad_mode == "tile":
+                    s = np.tile(s, self.length // len(s) + 1)[:self.length]
+                else:
+                    s = np.pad(s, (0, self.length - len(s)))
+            elif len(s) > self.length:
+                # random crop window per refresh (the reference draws a
+                # random segment per sample; across epochs this converges
+                # to the same coverage)
+                self._has_long_clips = True
+                start = rng.randint(0, len(s) - self.length + 1)
+                s = s[start:start + self.length]
+            bank[i] = s[:self.length]
+        self._bank = jnp.asarray(bank)
+        self._epoch = epoch
+        return self._bank
+
+    _has_long_clips = True  # unknown before the first load: assume yes
+
+
+def load_audio_bank(audio_dir, sample_rate, clip_seconds, max_clips=256,
+                    pad_mode="tile"):
+    """One-shot bank load (see :class:`AudioBank`). Returns None when the
+    directory is missing/empty."""
     if audio_dir is None or not os.path.isdir(audio_dir):
         return None
-    paths = sorted(
-        os.path.join(audio_dir, f) for f in os.listdir(audio_dir)
-        if f.lower().endswith((".wav", ".flac")))[:max_clips]
-    if not paths:
-        return None
-    length = int(clip_seconds * sample_rate)
-    bank = np.zeros((len(paths), length), dtype=np.float32)
-    for i, p in enumerate(paths):
-        seg = AudioSegment.from_file(p)
-        seg.resample(sample_rate)
-        s = seg.samples
-        if len(s) < length:
-            s = np.tile(s, length // len(s) + 1)
-        bank[i] = s[:length]
-    return jnp.asarray(bank)
+    b = AudioBank(audio_dir, sample_rate, clip_seconds, max_clips, pad_mode)
+    return b.bank(0) if b else None
 
 
 # ----------------------------------------------------------------------
@@ -216,16 +300,44 @@ class DeviceAugmenter:
         self.reverb_conf = aug_conf.get("reverb") if aug_conf else None
         self.spec_conf = aug_conf.get("spec_aug") if aug_conf else None
         self.target_db = target_db
-        self.noise_bank = None
-        self.rir_bank = None
+        self._noise = self._rir = None
         if self.noise_conf and self.noise_conf.get("prob", 0) > 0:
-            self.noise_bank = load_audio_bank(
-                self.noise_conf.get("noise_dir"), sample_rate, clip_seconds)
+            d = self.noise_conf.get("noise_dir")
+            if d and os.path.isdir(d):
+                self._noise = AudioBank(
+                    d, sample_rate, clip_seconds,
+                    max_clips=int(self.noise_conf.get("max_clips", 256)),
+                    pad_mode="tile") or None
         if self.reverb_conf and self.reverb_conf.get("prob", 0) > 0:
-            self.rir_bank = load_audio_bank(
-                self.reverb_conf.get("reverb_dir"), sample_rate, 0.5)
+            d = self.reverb_conf.get("reverb_dir")
+            if d and os.path.isdir(d):
+                # full-length RIRs (up to the training crop), zero-padded
+                self._rir = AudioBank(
+                    d, sample_rate,
+                    float(self.reverb_conf.get("max_rir_seconds",
+                                               clip_seconds)),
+                    max_clips=int(self.reverb_conf.get("max_clips", 256)),
+                    pad_mode="zero") or None
 
-    def __call__(self, waves, rng, valid_ratio=None):
+    # captured-constant banks (small corpora / inference-free tests)
+    @property
+    def noise_bank(self):
+        return self._noise.bank() if self._noise else None
+
+    @property
+    def rir_bank(self):
+        return self._rir.bank() if self._rir else None
+
+    def device_banks(self, epoch=0):
+        """Banks for this epoch as a pytree suitable for passing as jit
+        *arguments* (same shapes every epoch → no recompiles), refreshed
+        per epoch when the corpus exceeds the bank."""
+        return {"noise": self._noise.bank(epoch) if self._noise else None,
+                "rir": self._rir.bank(epoch) if self._rir else None}
+
+    def __call__(self, waves, rng, valid_ratio=None, banks=None):
+        if banks is None:
+            banks = {"noise": self.noise_bank, "rir": self.rir_bank}
         b = waves.shape[0]
         keys = jax.random.split(rng, 8)
         if self.volume_conf and self.volume_conf.get("prob", 0) > 0:
@@ -235,27 +347,36 @@ class DeviceAugmenter:
                 maxval=float(self.volume_conf.get("max_gain_dBFS", 15)))
             on = jax.random.uniform(keys[1], (b,)) < self.volume_conf["prob"]
             waves = jnp.where(on[:, None], apply_volume(waves, gain), waves)
-        if self.noise_bank is not None:
-            idx = jax.random.randint(keys[2], (b,), 0, self.noise_bank.shape[0])
+        if banks.get("noise") is not None:
+            bank = banks["noise"]
+            idx = jax.random.randint(keys[2], (b,), 0, bank.shape[0])
             snr = jax.random.uniform(
                 keys[3], (b,),
                 minval=float(self.noise_conf.get("min_snr_dB", 10)),
                 maxval=float(self.noise_conf.get("max_snr_dB", 50)))
-            noise = self.noise_bank[idx][:, :waves.shape[1]]
+            # per-sample random segment: circular offset into the clip
+            # (the reference draws a random start per sample)
+            shift = jax.random.randint(keys[7], (b,), 0, bank.shape[1])
+            noise = jax.vmap(jnp.roll)(bank[idx], shift)[:, :waves.shape[1]]
             on = jax.random.uniform(keys[4], (b,)) < self.noise_conf["prob"]
             waves = jnp.where(on[:, None],
                               mix_noise(waves, noise, snr, valid_ratio),
                               waves)
-        if self.rir_bank is not None:
-            idx = jax.random.randint(keys[5], (b,), 0, self.rir_bank.shape[0])
+        if banks.get("rir") is not None:
+            bank = banks["rir"]
+            idx = jax.random.randint(keys[5], (b,), 0, bank.shape[0])
             on = jax.random.uniform(keys[6], (b,)) < self.reverb_conf["prob"]
             waves = jnp.where(on[:, None],
-                              apply_reverb(waves, self.rir_bank[idx]), waves)
+                              apply_reverb(waves, bank[idx]), waves)
         if self.target_db is not None:
             # dB-normalisation after augmentation (reference reader.py:97-98)
             waves = normalize_db(waves, self.target_db,
                                  valid_ratio=valid_ratio)
         return waves
+
+    def refresh(self, epoch):
+        """Host-side per-epoch bank refresh; returns ``device_banks``."""
+        return self.device_banks(epoch)
 
     def augment_features(self, features, rng):
         if not self.spec_conf or self.spec_conf.get("prob", 0) <= 0:

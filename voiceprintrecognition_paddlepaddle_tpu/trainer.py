@@ -318,13 +318,14 @@ class Trainer:
         @partial(jax.jit, donate_argnums=(0,),
                  static_argnames=("from_waveforms",))
         def train_step(state, batch_data, lens_ratio, labels, margin, rng,
-                       from_waveforms=True):
+                       banks=None, from_waveforms=True):
             aug_rng, spec_rng, feat_rng = jax.random.split(jax.random.fold_in(
                 rng, state.step), 3)
             if from_waveforms:
                 if batch_data.dtype == jnp.int16:
                     batch_data = batch_data.astype(jnp.float32) / 32768.0
-                waves = augmenter(batch_data, aug_rng, valid_ratio=lens_ratio)
+                waves = augmenter(batch_data, aug_rng, valid_ratio=lens_ratio,
+                                  banks=banks)
                 feats = featurize(waves, input_lens_ratio=lens_ratio,
                                   **({"rng": feat_rng} if dither > 0 else {}))
             else:
@@ -561,6 +562,10 @@ class Trainer:
         last_log_time = time.time()
         last_log_batch = 0
         world_bs = batch_size  # sampler batch is per-process
+        # per-epoch refresh of the noise/RIR banks (big corpora rotate a
+        # new random file subset + crop windows each epoch); banks ride
+        # the step as traced args so the refresh needs no recompile
+        banks = self.augmenter.refresh(epoch_id)
         for batch_id, (kind, data, labels, lens) in enumerate(
                 self._device_prefetch(self.train_loader)):
             if self.stop_train:
@@ -579,7 +584,7 @@ class Trainer:
                     logger.info(f"profiler trace saved: {self._profiler_dir}")
             # async dispatch: no host sync except at log points
             self.state, metrics = self._jit_train_step(
-                self.state, data, lens, labels, margin, base_rng,
+                self.state, data, lens, labels, margin, base_rng, banks,
                 from_waveforms=(kind == "waveforms"))
             self.train_step_num += 1
 
