@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["create_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch", "local_process_info",
+           "shard_batch", "local_process_info", "allgather_ragged",
            "maybe_initialize_distributed"]
 
 _distributed_initialized = False
@@ -94,3 +94,26 @@ def shard_batch(batch, mesh, axis_name="data"):
 def local_process_info():
     """(rank, world_size) in reference terms (``trainer.py:292-293``)."""
     return jax.process_index(), jax.process_count()
+
+
+def allgather_ragged(*arrays):
+    """Allgather per-process host arrays whose leading dims differ across
+    processes (each process's shard of an unevenly-split list). Pads to
+    the max count, gathers, trims, and concatenates rank-major. Collective:
+    every process must call with its shard; all receive the full arrays."""
+    from jax.experimental import multihost_utils
+
+    n = int(arrays[0].shape[0])
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n], np.int32))).reshape(-1)
+    n_max = int(counts.max())
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        if n_max > a.shape[0]:
+            a = np.concatenate(
+                [a, np.zeros((n_max - a.shape[0],) + a.shape[1:], a.dtype)])
+        g = np.asarray(multihost_utils.process_allgather(a))
+        out.append(np.concatenate(
+            [g[r, :counts[r]] for r in range(len(counts))]))
+    return tuple(out)

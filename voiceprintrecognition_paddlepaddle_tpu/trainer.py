@@ -42,8 +42,8 @@ from .models.fc import SpeakerIdentification
 from .ops.augment import DeviceAugmenter
 from .ops.features import AudioFeaturizer
 from .optimizer import MarginScheduler, build_lr_scheduler, build_optimizer
-from .parallel import (batch_sharding, create_mesh, local_process_info,
-                       replicated_sharding, shard_batch)
+from .parallel import (allgather_ragged, batch_sharding, create_mesh,
+                       local_process_info, replicated_sharding, shard_batch)
 from .utils.checkpoint import (AsyncSaver, load_checkpoint,
                                load_pretrained, save_checkpoint,
                                save_msgpack)
@@ -174,8 +174,11 @@ class Trainer:
                 continue
             ds = SpeakerDataset(data_list_path=list_path, mode="eval",
                                 **eval_args)
+            # multi-process: each process embeds its own shard of the
+            # list; embeddings are allgathered in _embed_loader
             sampler = BatchSampler(ds, batch_size=eval_bs, shuffle=False,
-                                   drop_last=False)
+                                   drop_last=False, num_replicas=world,
+                                   rank=rank)
             loader = DataLoader(ds, sampler, self._eval_collate,
                                 num_workers=loader_args.get("num_workers", 4))
             setattr(self, f"{attr}_dataset", ds)
@@ -387,7 +390,7 @@ class Trainer:
         dither = getattr(self.audio_featurizer, "dither", 0.0)
 
         @partial(jax.jit, static_argnames=("from_waveforms",))
-        def embed(state, batch_data, lens_ratio, from_waveforms=True):
+        def embed(variables, batch_data, lens_ratio, from_waveforms=True):
             if from_waveforms:
                 # fixed key -> deterministic (reproducible) eval dither
                 feats = featurize(batch_data, input_lens_ratio=lens_ratio,
@@ -395,13 +398,15 @@ class Trainer:
                                      if dither > 0 else {}))
             else:
                 feats = batch_data
-            variables = {"params": state.params["backbone"],
-                         "batch_stats": state.batch_stats["backbone"]}
             # lengths make the pooling statistics padding-invariant
             return model.apply(variables, feats, train=False,
                                lengths=lens_ratio)
 
         return embed
+
+    def _backbone_variables(self):
+        return {"params": self.state.params["backbone"],
+                "batch_stats": self.state.batch_stats["backbone"]}
 
     # ------------------------------------------------------------------
     # public API (reference surface)
@@ -488,10 +493,16 @@ class Trainer:
             start_epoch = time.time()
             self.__train_epoch(epoch_id, max_epoch, writer, rank,
                                base_rng, data_sharding, save_model_path)
-            if rank == 0 and do_eval and not self.stop_eval:
-                logger.info("=" * 70)
+            # multi-process eval is COLLECTIVE (rank-sharded embedding +
+            # allgather): every rank participates; logging/checkpoints
+            # below stay rank-0-gated
+            world = jax.process_count()
+            if do_eval and not self.stop_eval and (rank == 0 or world > 1):
+                if rank == 0:
+                    logger.info("=" * 70)
                 self.eval_eer, self.eval_min_dcf, self.eval_threshold = \
                     self.evaluate()
+            if rank == 0 and do_eval and not self.stop_eval:
                 logger.info(
                     f"Test epoch: {epoch_id}, time/epoch: "
                     f"{timedelta(seconds=int(time.time() - start_epoch))}, "
@@ -630,15 +641,28 @@ class Trainer:
     def _embed_loader(self, loader, desc):
         """Embed a whole loader, data-parallel over the mesh: batches pad
         up to a multiple of the device count (padding rows discarded), so
-        eval scales across chips like training does."""
+        eval scales across chips like training does.
+
+        Multi-process runs shard the LIST across processes (the eval
+        samplers are rank-sharded), each process embeds its shard on its
+        own local devices, and the embeddings are allgathered host-side —
+        the whole pod works on eval instead of one chip (the reference
+        evaluates on rank 0 only, ``trainer.py:343-346``)."""
         if self._jit_embed is None:
             self._jit_embed = self._build_embed_fn()
-        # eval runs on rank 0 only (reference semantics); with multiple
-        # processes the global mesh can't be used from one process, so
-        # fall back to local single-device embedding there
         multi_process = jax.process_count() > 1
-        n_dev = (1 if multi_process or self.mesh is None
-                 else self.mesh.devices.size)
+        if multi_process:
+            # one host-local replica of the backbone weights: the global
+            # mesh can't be driven from a single process, and passing
+            # globally-sharded arrays into a local jit would insert
+            # collectives the other ranks never join
+            variables = jax.device_put(
+                jax.device_get(self._backbone_variables()),
+                jax.local_devices()[0])
+            n_dev = 1
+        else:
+            variables = self._backbone_variables()
+            n_dev = 1 if self.mesh is None else self.mesh.devices.size
         feats, labels = [], []
         for kind, data, y, lens in loader:
             if self.stop_eval:
@@ -651,12 +675,19 @@ class Trainer:
                 lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
             if n_dev > 1:
                 data, lens = shard_batch((data, lens), self.mesh)
-            emb = self._jit_embed(self.state, jnp.asarray(data),
+            emb = self._jit_embed(variables, jnp.asarray(data),
                                   jnp.asarray(lens),
                                   from_waveforms=(kind == "waveforms"))
             feats.append(np.asarray(emb)[:b])
             labels.append(np.asarray(y))
-        return np.concatenate(feats), np.concatenate(labels).astype(np.int32)
+        feats = (np.concatenate(feats) if feats
+                 else np.zeros((0, getattr(self.model, "embd_dim", 192)),
+                               np.float32))
+        labels = (np.concatenate(labels).astype(np.int32) if labels
+                  else np.zeros((0,), np.int32))
+        if multi_process and not self.stop_eval:
+            feats, labels = allgather_ragged(feats, labels)
+        return feats, labels
 
     def evaluate(self, resume_model=None, save_image_path=None):
         """Returns (eer, min_dcf, threshold) — reference
