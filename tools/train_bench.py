@@ -22,10 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 ITERS = 10
 
 
-def main(model_name="EcapaTdnn", batch=64, amp=False):
+def main(model_name="EcapaTdnn", batch=64, amp=False, mu_dtype=None):
     import optax
     from voiceprintrecognition_paddlepaddle_tpu.loss import AAMLoss
     from voiceprintrecognition_paddlepaddle_tpu.models import MODELS
@@ -39,7 +44,7 @@ def main(model_name="EcapaTdnn", batch=64, amp=False):
     model = MODELS[model_name](input_size=n_mels, embd_dim=192, dtype=dtype)
     classifier = SpeakerIdentification(num_speakers=n_spk, dtype=dtype)
     criterion = AAMLoss(margin=0.2, scale=32)
-    tx = optax.adam(1e-3)
+    tx = optax.adam(1e-3, mu_dtype=mu_dtype)
 
     rng = np.random.RandomState(0)
     waves = jnp.asarray(rng.randn(batch, sr * seconds).astype(np.float32) * 0.1)
@@ -96,7 +101,8 @@ def main(model_name="EcapaTdnn", batch=64, amp=False):
     out = run(*out[:3], waves, labels)
     float(np.asarray(out[3]))
     dt = (time.perf_counter() - t0) / ITERS
-    print(f"{model_name} batch={batch} amp={amp}: {dt*1e3:.2f} ms/step, "
+    print(f"{model_name} batch={batch} amp={amp} mu_dtype={mu_dtype}: "
+          f"{dt*1e3:.2f} ms/step, "
           f"{batch/dt:.0f} data/sec (reference GPU: ~440-480)")
 
 
@@ -104,4 +110,5 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     main(args[0] if args else "EcapaTdnn",
          int(args[1]) if len(args) > 1 else 64,
-         bool(int(args[2])) if len(args) > 2 else False)
+         bool(int(args[2])) if len(args) > 2 else False,
+         jnp.bfloat16 if len(args) > 3 and args[3] == "bf16mu" else None)

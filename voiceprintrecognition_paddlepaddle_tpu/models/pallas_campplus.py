@@ -451,38 +451,48 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
             cin = c0 + li * growth
             ng = (cin + 127) // 128
 
+            # all per-layer loads use pl.ds dynamic-slice indexing
+            # (scalar multi-dim dynamic ref indexing lowers to >2-D
+            # gathers, which Mosaic rejects); results stay >= 2-D
+            def row2(ref, r):
+                return ref[pl.ds(r, 1), :]                        # (1, C)
+
             def grp_body(g, acc):
-                xg = xcat_ref[g]
-                ag = wide_a_ref[l, g].astype(compute_dtype)
-                bg = wide_b_ref[l, g].astype(compute_dtype)
-                h = jnp.maximum(xg * ag[None, :] + bg[None, :], 0.0)
-                return acc + jnp.dot(h, w_lin1g_ref[l, g],
-                                     preferred_element_type=f32)
+                xg = xcat_ref[pl.ds(g, 1), :, :][0]
+                ag = wide_a_ref[pl.ds(l, 1), pl.ds(g, 1), :][0]
+                bg = wide_b_ref[pl.ds(l, 1), pl.ds(g, 1), :][0]
+                h = jnp.maximum(xg * ag.astype(compute_dtype)
+                                + bg.astype(compute_dtype), 0.0)
+                w = w_lin1g_ref[pl.ds(l, 1), pl.ds(g, 1), :, :][0, 0]
+                return acc + jnp.dot(h, w, preferred_element_type=f32)
 
             h1 = jax.lax.fori_loop(0, ng, grp_body,
                                    jnp.zeros((rows, bn_ch), f32))
-            h1 = h1 + nb[l][None, :]
-            x2 = jnp.maximum(h1 * nb[L + l][None, :]
-                             + nb[2 * L + l][None, :], 0.0)
+            h1 = h1 + row2(narrow_ref, l)
+            x2 = jnp.maximum(h1 * row2(narrow_ref, L + l)
+                             + row2(narrow_ref, 2 * L + l), 0.0)
             x2 = (x2 * mask).astype(compute_dtype)
 
             # local k3 dilated conv: one (bn, 3*growth) matmul + shifts
-            a = dotT(x2, w_localT_ref[l])
+            wl = w_localT_ref[pl.ds(l, 1), :, :][0]
+            a = dotT(x2, wl)
             ad, au = _shift_down(a, dil), _shift_up(a, dil)
             y = (ad[:, :growth] + a[:, growth:2 * growth]
                  + au[:, 2 * growth:3 * growth])
-            cb = cam_bias_ref[l]
-            y = y + cb[None, :growth]
+            cb = row2(cam_bias_ref, l)                   # (1, 128)
+            y = y + cb[:, :growth]
 
             # CAM context gate
             pooled = jnp.dot(pt, x2.astype(f32),
                              preferred_element_type=f32)
             ctx = jnp.dot(msel, pooled, preferred_element_type=f32)
-            c1 = dotT(ctx.astype(compute_dtype), w_cam1T_ref[l])
+            w1 = w_cam1T_ref[pl.ds(l, 1), :, :][0]
+            c1 = dotT(ctx.astype(compute_dtype), w1)
             c1 = jnp.maximum(
-                c1 + cb[None, 2 * growth:2 * growth + bn_ch // 2], 0.0)
-            g = dotT(c1.astype(compute_dtype), w_cam2T_ref[l])
-            g = jax.nn.sigmoid(g + cb[None, growth:2 * growth])
+                c1 + cb[:, 2 * growth:2 * growth + bn_ch // 2], 0.0)
+            w2 = w_cam2T_ref[pl.ds(l, 1), :, :][0]
+            g = dotT(c1.astype(compute_dtype), w2)
+            g = jax.nn.sigmoid(g + cb[:, growth:2 * growth])
             gate = jnp.dot(ssel, g.astype(compute_dtype),
                            preferred_element_type=f32)
 
@@ -491,7 +501,8 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
             for k in range(4):
                 @pl.when(li % 4 == k)
                 def _(k=k):
-                    xcat_ref[gi, :, k * growth:(k + 1) * growth] = out
+                    xcat_ref[pl.ds(gi, 1), :,
+                             k * growth:(k + 1) * growth] = out[None]
             return carry
 
         jax.lax.fori_loop(0, n, layer_body, 0)

@@ -52,14 +52,21 @@ def build_optimizer(learning_rate, configs):
     b2 = float(args.pop("beta2", 0.999))
     eps = float(args.pop("epsilon", 1e-8))
     momentum = float(args.pop("momentum", 0.9))
+    # bf16 first moment halves the Adam-m HBM traffic on the
+    # bandwidth-bound train step; the variance stays f32 (its magnitude
+    # range is what bf16 cannot represent well). Opt-in via
+    # optimizer_args.mu_dtype: bfloat16
+    mu_dtype = args.pop("mu_dtype", None)
 
     chain = []
     if use_optimizer in ("Adam", "AdamMax"):
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))  # coupled L2
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps,
+                                         mu_dtype=mu_dtype))
     elif use_optimizer == "AdamW":
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps,
+                                         mu_dtype=mu_dtype))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))  # decoupled
     elif use_optimizer == "Momentum":
