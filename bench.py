@@ -172,6 +172,8 @@ def main():
     # honest training comparison: same model/batch/numerics as the
     # reference's logged 440-480 data/sec (EcapaTdnn, batch 64, fp32)
     train_dps = train_throughput("EcapaTdnn", batch=64, amp=False)
+    # the recommended production training config (CAM++, bf16 AMP, b256)
+    campplus_dps = train_throughput("CAMPPlus", batch=256, amp=True)
 
     print(json.dumps({
         "metric": "wav_to_campplus_embedding_throughput",
@@ -182,6 +184,9 @@ def main():
         "train_value": round(train_dps, 2),
         "train_unit": "data/s/chip",
         "train_vs_baseline": round(train_dps / BASELINE_UTT_PER_SEC, 2),
+        "campplus_train_metric": "campplus_b256_bf16_train_throughput",
+        "campplus_train_value": round(campplus_dps, 2),
+        "campplus_train_unit": "data/s/chip",
     }))
 
 

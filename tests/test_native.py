@@ -89,3 +89,114 @@ def test_audiosegment_uses_native():
     assert seg.sample_rate == 16000 and seg.num_samples == 58752
     seg.resample(8000)
     assert abs(seg.num_samples - 29376) <= 1
+
+
+def test_load_batch_native_matches_per_item(tmp_path):
+    """The GIL-free C++ batch loader must reproduce the per-item python
+    pipeline: decode + crop + int16 quantize (no speed perturb), plus
+    correct valid lengths and durations."""
+    import wave as wave_mod
+    from voiceprintrecognition_paddlepaddle_tpu.native import \
+        load_batch_native
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    paths, raws = [], []
+    for i, seconds in enumerate([1.0, 2.5, 4.0]):
+        sig = (rng.randn(int(sr * seconds)) * 0.1).astype(np.float32)
+        p = tmp_path / f"b{i}.wav"
+        with wave_mod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes())
+        paths.append(str(p))
+        raws.append(np.clip(sig, -1, 1))
+
+    target = 3 * sr
+    out, valid, dur = load_batch_native(paths, sr, target,
+                                        crop_fracs=[0.0, 0.0, 0.0])
+    assert out.shape == (3, target) and out.dtype == np.int16
+    assert list(valid) == [sr, int(2.5 * sr), target]
+    assert np.allclose(dur, [1.0, 2.5, 4.0], atol=1e-3)
+    for i, raw in enumerate(raws):
+        got = out[i, :valid[i]]
+        ref16 = (np.clip(raw, -1, 1) * 32767).astype("<i2")[:target]
+        # decode divides by 32768; quantize multiplies by 32767 ->
+        # values match within 1 LSB
+        assert np.abs(got.astype(np.int32)
+                      - ref16[:valid[i]].astype(np.int32)).max() <= 1
+        if valid[i] < target:
+            assert np.abs(out[i, valid[i]:]).max() == 0
+
+
+def test_load_batch_native_speed_and_crop(tmp_path):
+    import wave as wave_mod
+    from voiceprintrecognition_paddlepaddle_tpu.native import \
+        load_batch_native
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = tmp_path / "tone.wav"
+    with wave_mod.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((sig * 32767).astype("<i2").tobytes())
+
+    target = 3 * sr
+    out, valid, dur = load_batch_native(
+        [str(p), str(p), str(p)], sr, target,
+        speeds=[(1, 1), (9, 10), (11, 10)],
+        crop_fracs=[0.5, 0.5, 0.5])
+    assert list(valid) == [target, target, target]
+    # pitch scales with speed: 440 * speed
+    for i, speed in enumerate([1.0, 0.9, 1.1]):
+        x = out[i].astype(np.float32) / 32767.0
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+        peak = freqs[np.argmax(spec)]
+        assert abs(peak - 440 * speed) < 5, (speed, peak)
+
+
+def test_dataset_load_batch_matches_getitem(tmp_path):
+    """SpeakerDataset.load_batch (native) vs __getitem__ (python) on the
+    same list without augmentation: identical int16 batches."""
+    import wave as wave_mod
+    from voiceprintrecognition_paddlepaddle_tpu.data_utils.reader import \
+        SpeakerDataset
+
+    sr = 16000
+    rng = np.random.RandomState(1)
+    lines = []
+    for i in range(4):
+        sig = (rng.randn(int(sr * (1.0 + i))) * 0.1).astype(np.float32)
+        p = tmp_path / f"d{i}.wav"
+        with wave_mod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes())
+        lines.append(f"{p}\t{i}")
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    ds = SpeakerDataset(data_list_path=str(lst), mode="train",
+                        max_duration=2, min_duration=0.5, seed=7)
+    items = ds.load_batch([0, 1, 2, 3])
+    assert items is not None
+    ds2 = SpeakerDataset(data_list_path=str(lst), mode="train",
+                         max_duration=2, min_duration=0.5, seed=7)
+    for i in range(4):
+        w_n, lab_n, v_n = items[i]
+        w_p, lab_p, v_p = ds2[i]
+        assert lab_n == lab_p and v_n == v_p
+        q = (np.clip(w_p, -1, 1) * 32767).astype(np.int16)
+        # crop starts differ only through RNG stream; for items shorter
+        # than target there is no crop -> must match exactly
+        if len(w_p) >= v_p and v_p <= 2 * sr and i < 2:
+            assert np.abs(w_n[:v_n].astype(np.int32)
+                          - q[:v_n].astype(np.int32)).max() <= 1

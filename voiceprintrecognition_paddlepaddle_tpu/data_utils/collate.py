@@ -41,8 +41,10 @@ def collate_waveforms(batch, bucket=True, quantize_int16=False):
     labels = np.empty((b,), dtype=np.int64)
     ratios = np.empty((b,), dtype=np.float32)
     for i, (w, label, valid) in enumerate(batch):
-        if quantize_int16:
+        if quantize_int16 and w.dtype != np.int16:
             w = (np.clip(w, -1.0, 1.0) * 32767.0).astype(np.int16)
+        elif not quantize_int16 and w.dtype == np.int16:
+            w = w.astype(np.float32) / 32768.0
         waves[i, :w.shape[0]] = w
         labels[i] = label
         ratios[i] = min(valid, max_len) / max_len

@@ -44,7 +44,13 @@ class DataLoader:
                 except queue.Empty:
                     return
                 try:
-                    items = [self.dataset[j] for j in indices]
+                    # batch-level native fast path (GIL-free C++ thread
+                    # pool) when the dataset provides one
+                    items = (self.dataset.load_batch(indices)
+                             if hasattr(self.dataset, "load_batch")
+                             else None)
+                    if items is None:
+                        items = [self.dataset[j] for j in indices]
                     batch = self.collate_fn(items)
                 except Exception as e:  # surface worker errors to consumer
                     batch = e

@@ -94,6 +94,61 @@ class SpeakerDataset:
         self.lines = [self.lines[i] for i in order]
         self.labels = [self.labels[i] for i in order]
 
+    def load_batch(self, indices, n_threads=None):
+        """Native fast path for train waveform batches: one GIL-free C++
+        call reads, decodes, resamples (sample rate x speed perturb),
+        crops and int16-quantizes the whole batch in a thread pool
+        (``native/audioio.cpp`` vpr_load_batch) — the C++ replacement for
+        the reference's multiprocess DataLoader workers
+        (``ppvector/trainer.py:108-111``). Speed/label/crop randomness
+        stays in Python (same policy as the per-item path). Returns
+        items ``[(int16 (L,), label, valid), ...]`` or None when
+        inapplicable (non-train mode, .npy lists, native unavailable);
+        unreadable or too-short items fall back to ``__getitem__``'s
+        skip semantics."""
+        if self.mode != "train":
+            return None
+        from ..native import load_batch_native, native_available
+        if not native_available():
+            return None
+        paths, labels, speeds, fracs = [], [], [], []
+        for idx in indices:
+            path, spk_id = self.lines[idx].split("\t")
+            if path.endswith(".npy"):
+                return None
+            spk_id = int(spk_id)
+            num, den = 1, 1
+            sa = self.speed_augment
+            if sa is not None:
+                if self._rng.random() < sa.prob:
+                    si = self._rng.randint(0, 2)
+                    speed = sa.SPEEDS[si]
+                    if speed == 0.9:
+                        num, den = 9, 10
+                    elif speed == 1.1:
+                        num, den = 11, 10
+                    if sa.speed_perturb_3_class:
+                        spk_id = spk_id * 3 + si
+            paths.append(path)
+            labels.append(spk_id)
+            speeds.append((num, den))
+            fracs.append(self._rng.random())
+        target_len = int(self.max_duration * self.sample_rate)
+        res = load_batch_native(paths, self.sample_rate, target_len,
+                                speeds, fracs, n_threads)
+        if res is None:
+            return None
+        waves, valid, dur = res
+        items = []
+        for i, idx in enumerate(indices):
+            if valid[i] < 0 or dur[i] < self.min_duration:
+                # unreadable / too short: same skip-to-next semantics as
+                # the per-item path (reference ``reader.py:87-89``)
+                items.append(self[idx + 1 if idx < len(self) - 1 else 0])
+            else:
+                items.append((waves[i], labels[i], int(valid[i])))
+        return items
+
     def __getitem__(self, idx):
         path, spk_id = self.lines[idx].split("\t")
         spk_id = int(spk_id)

@@ -525,7 +525,11 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
             xcat_ref[go] = ht[:, go * 128:(go + 1) * 128]
         l0 += n
 
-    # out nonlinearity + stats pooling, per group (cf = 512 -> 4 groups)
+    # out nonlinearity + stats pooling, per group (cf = 512 -> 4 groups).
+    # out_ref block is (1, round_up(u, 8), 2*cf): the u rows of pooled
+    # stats land in an 8-sublane-aligned slab (u is NOT required to be a
+    # multiple of 8 here, which lets long clips run few utterances per
+    # grid step); the wrapper trims the slab padding
     cf = plan["final_channels"]
     for g in range(cf // 128):
         xg = xcat_ref[g].astype(f32)
@@ -534,8 +538,8 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
         mean = jnp.dot(pt[:u], xg, preferred_element_type=f32)
         meansq = jnp.dot(pt[:u], xg * xg, preferred_element_type=f32)
         std = jnp.sqrt(jnp.maximum(meansq - mean * mean, 0.0))
-        out_ref[:, g * 128:(g + 1) * 128] = mean
-        out_ref[:, cf + g * 128:cf + (g + 1) * 128] = std
+        out_ref[0, :u, g * 128:(g + 1) * 128] = mean
+        out_ref[0, :u, cf + g * 128:cf + (g + 1) * 128] = std
 
 
 @functools.partial(jax.jit, static_argnames=("plan_key", "interpret"))
@@ -583,10 +587,11 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
             pl.BlockSpec((rows, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((u, 2 * cf), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, _round_up(u, 8), 2 * cf),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xe.shape[0] // t_pad, 2 * cf),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (xe.shape[0] // rows, _round_up(u, 8), 2 * cf), jnp.float32),
         interpret=interpret,
         scratch_shapes=[pltpu.VMEM((8, rows, 128), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
@@ -595,7 +600,7 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
       packed["w_cam1T"], packed["w_cam2T"], *packed["transits"],
       packed["wide_a"], packed["wide_b"], packed["tbias"], packed["narrow"],
       packed["cam_bias"], pt, msel, ssel, mask)
-    return out
+    return out[:, :u].reshape(-1, 2 * cf)
 
 
 # ---------------------------------------------------------------------------
@@ -704,14 +709,17 @@ def trunk_geometry(t_raw, u=None):
     t_valid = (t_raw + 2 * 2 - 5) // 2 + 1        # stem k5 s2 pad 2
     t_pad = _round_up(t_valid + 2, 32)
     if u is None:
-        # the out BlockSpec needs u % 8 == 0. u=16 amortises per-op
-        # overhead better (measured 6.89 vs 7.50 ms at b256/3s). For the
-        # unrolled variant Mosaic compile time grows superlinearly in
-        # rows-per-step (u=16 at t_pad=224 exceeded 40 min), capping rows
-        # at ~2.5k; the looped variant compiles flat in rows, so the cap
-        # is VMEM only (xcat scratch = rows * 2 KiB)
-        cap = 4096 if _VARIANT == "looped" else 2560
-        u = 16 if 16 * t_pad <= cap else 8
+        # u=16 amortises per-op overhead best for short clips (measured
+        # 6.89 vs 7.50 ms at b256/3s). Mosaic compile time grows
+        # superlinearly in rows-per-step for BOTH variants (the looped
+        # body compiles once, but each op still schedules over all row
+        # tiles: rows=8192 exceeded 9.5 min), so long clips cap rows by
+        # dropping u — the looped out-slab layout allows any u >= 1,
+        # while the unrolled variant's flat out BlockSpec needs u % 8
+        if _VARIANT == "looped":
+            u = 16 if 16 * t_pad <= 2560 else max(1, min(16, 2048 // t_pad))
+        else:
+            u = 16 if 16 * t_pad <= 2560 else 8
     n_segs = max(1, math.ceil(t_valid / SEG_LEN))
     return t_valid, t_pad, u, n_segs
 

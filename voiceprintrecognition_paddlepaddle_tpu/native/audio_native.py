@@ -17,7 +17,7 @@ import numpy as np
 from ..utils.logger import logger
 
 __all__ = ["native_available", "decode_wav_native", "resample_native",
-           "rms_db_native"]
+           "rms_db_native", "load_batch_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "audioio.cpp")
@@ -34,8 +34,8 @@ def _src_hash():
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _LIB_PATH]
+    cmd = ["g++", "-O3", "-ffast-math", "-funroll-loops", "-pthread",
+           "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception as e:
@@ -97,6 +97,14 @@ def _load():
         lib.vpr_rms_db.argtypes = [ctypes.POINTER(ctypes.c_float),
                                    ctypes.c_int64]
         lib.vpr_free.argtypes = [ctypes.c_void_p]
+        lib.vpr_load_batch.restype = ctypes.c_int
+        lib.vpr_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -153,3 +161,44 @@ def rms_db_native(samples):
     return float(lib.vpr_rms_db(
         samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         samples.shape[0]))
+
+
+def load_batch_native(paths, target_sr, target_len, speeds=None,
+                      crop_fracs=None, n_threads=None):
+    """Batched GIL-free train loader: read + decode + resample (sample
+    rate x speed perturb) + crop + int16 quantize for all ``paths`` in a
+    C++ thread pool.
+
+    ``speeds``: per-item (num, den) speed fractions ((9, 10) = 0.9x
+    playback = longer signal); ``crop_fracs``: per-item crop-start
+    fractions in [0, 1). Returns ``(int16 (N, target_len), valid (N,)
+    int64, duration_s (N,) float64)`` — ``valid[i] < 0`` marks an
+    unreadable item (caller falls back per-item) — or None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(
+        *[os.fsencode(p) for p in paths])
+    num = np.ones(n, np.int32) if speeds is None else \
+        np.ascontiguousarray([s[0] for s in speeds], dtype=np.int32)
+    den = np.ones(n, np.int32) if speeds is None else \
+        np.ascontiguousarray([s[1] for s in speeds], dtype=np.int32)
+    fracs = (np.zeros(n, np.float32) if crop_fracs is None
+             else np.ascontiguousarray(crop_fracs, dtype=np.float32))
+    out = np.empty((n, int(target_len)), np.int16)
+    valid = np.empty(n, np.int64)
+    dur = np.empty(n, np.float64)
+    if n_threads is None:
+        n_threads = min(n, os.cpu_count() or 1)
+    lib.vpr_load_batch(
+        c_paths, n, int(target_sr), int(target_len),
+        num.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        den.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fracs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dur.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(n_threads))
+    return out, valid, dur

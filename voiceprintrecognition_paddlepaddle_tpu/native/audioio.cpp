@@ -15,6 +15,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
+#include <fstream>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -228,6 +231,145 @@ int vpr_resample(const float* in, int64_t n, int32_t sr_in, int32_t sr_out,
     }
     *out = res;
     *n_out = m;
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// batched train loader: read + decode + (sr & speed) resample + crop +
+// int16 quantize for a whole batch inside a C++ thread pool — the
+// GIL-free equivalent of the reference's multiprocess DataLoader workers
+// (reference ppvector/trainer.py:108-111). One call per batch; failures
+// are signalled per item (valid[i] < 0) for a Python fallback.
+// ---------------------------------------------------------------------
+
+// Kaiser-windowed-sinc polyphase core shared with vpr_resample; interior
+// samples skip the bounds check so -O3 can vectorise the tap loop.
+static void resample_core(const float* in, int64_t n, int64_t up,
+                          int64_t down, int half_taps,
+                          std::vector<float>& res) {
+    const int64_t g0 = gcd64(up, down);
+    up /= g0;
+    down /= g0;
+    const double cutoff = 0.5 * std::min<double>(1.0, (double)up / down);
+    const double beta = 8.6;
+    const int64_t taps_per_phase = 2 * half_taps;
+    std::vector<float> filt((size_t)(up * taps_per_phase));
+    const double i0b = bessel_i0(beta);
+    for (int64_t p = 0; p < up; ++p) {
+        double sum = 0.0;
+        for (int64_t t = 0; t < taps_per_phase; ++t) {
+            const double x = (double)p / up + (half_taps - 1 - t);
+            const double sinc = (x == 0.0)
+                ? 2.0 * cutoff
+                : std::sin(2.0 * M_PI * cutoff * x) / (M_PI * x);
+            const double w_arg = x / half_taps;
+            double w = 0.0;
+            if (std::fabs(w_arg) <= 1.0)
+                w = bessel_i0(beta * std::sqrt(1.0 - w_arg * w_arg)) / i0b;
+            filt[(size_t)(p * taps_per_phase + t)] = (float)(sinc * w);
+            sum += sinc * w;
+        }
+        if (sum != 0.0) {
+            const float inv = (float)(1.0 / sum);
+            for (int64_t t = 0; t < taps_per_phase; ++t)
+                filt[(size_t)(p * taps_per_phase + t)] *= inv;
+        }
+    }
+    const int64_t m = (n * up) / down;
+    res.resize((size_t)(m > 0 ? m : 0));
+    for (int64_t j = 0; j < m; ++j) {
+        const int64_t num = j * down;
+        const int64_t i_center = num / up;
+        const int64_t phase = num % up;
+        const float* h = &filt[(size_t)(phase * taps_per_phase)];
+        const int64_t base = i_center - half_taps + 1;
+        float acc = 0.0f;
+        if (base >= 0 && base + taps_per_phase <= n) {
+            const float* s = in + base;
+            for (int64_t t = 0; t < taps_per_phase; ++t) acc += h[t] * s[t];
+        } else {
+            for (int64_t t = 0; t < taps_per_phase; ++t) {
+                const int64_t idx = base + t;
+                if (idx >= 0 && idx < n) acc += h[t] * in[idx];
+            }
+        }
+        res[(size_t)j] = acc;
+    }
+}
+
+// speed[i] as a num/den fraction (0.9 = 9/10, 1.0 = 1/1, 1.1 = 11/10);
+// crop_frac in [0, 1) picks the crop window start. Output row i: int16
+// samples cropped/zero-padded to target_len; valid[i] = valid samples,
+// -1 = unreadable file; duration_s[i] = decoded duration (for
+// min-duration policy in Python).
+int vpr_load_batch(const char* const* paths, int32_t n_items,
+                   int32_t target_sr, int64_t target_len,
+                   const int32_t* speed_num, const int32_t* speed_den,
+                   const float* crop_frac, int16_t* out, int64_t* valid,
+                   double* duration_s, int32_t n_threads) {
+    std::atomic<int32_t> next{0};
+    auto work = [&]() {
+        std::vector<uint8_t> buf;
+        std::vector<float> res;
+        for (;;) {
+            const int32_t i = next.fetch_add(1);
+            if (i >= n_items) return;
+            valid[i] = -1;
+            duration_s[i] = 0.0;
+            int16_t* dst = out + (int64_t)i * target_len;
+            std::memset(dst, 0, sizeof(int16_t) * target_len);
+
+            std::ifstream f(paths[i], std::ios::binary | std::ios::ate);
+            if (!f) continue;
+            const std::streamsize sz = f.tellg();
+            if (sz <= 0) continue;
+            buf.resize((size_t)sz);
+            f.seekg(0);
+            if (!f.read((char*)buf.data(), sz)) continue;
+
+            float* dec = nullptr;
+            int64_t nd = 0;
+            int32_t sr = 0;
+            if (vpr_decode_wav(buf.data(), sz, &dec, &nd, &sr) != 0 ||
+                nd <= 0 || sr <= 0) {
+                if (dec) std::free(dec);
+                continue;
+            }
+            duration_s[i] = (double)nd / sr;
+
+            const int64_t up = (int64_t)target_sr * speed_den[i];
+            const int64_t down = (int64_t)sr * speed_num[i];
+            const float* src = dec;
+            int64_t ns = nd;
+            if (up != down) {
+                resample_core(dec, nd, up, down, 16, res);
+                src = res.data();
+                ns = (int64_t)res.size();
+            }
+
+            int64_t start = 0;
+            if (ns > target_len) {
+                start = (int64_t)((double)crop_frac[i]
+                                  * (double)(ns - target_len + 1));
+                if (start > ns - target_len) start = ns - target_len;
+                if (start < 0) start = 0;
+            }
+            const int64_t v = std::min<int64_t>(ns, target_len);
+            for (int64_t t = 0; t < v; ++t) {
+                float x = src[start + t];
+                x = x < -1.0f ? -1.0f : (x > 1.0f ? 1.0f : x);
+                dst[t] = (int16_t)(x * 32767.0f);  // trunc matches numpy
+            }
+            valid[i] = v;
+            std::free(dec);
+        }
+    };
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n_items) n_threads = n_items;
+    std::vector<std::thread> pool;
+    for (int32_t t = 1; t < n_threads; ++t) pool.emplace_back(work);
+    work();
+    for (auto& th : pool) th.join();
     return 0;
 }
 

@@ -55,20 +55,26 @@ class SpeedPerturbAugmentor:
 
     @classmethod
     def resample(cls, samples, speed):
-        """Time-stretch by 1/speed with anti-aliasing."""
+        """Time-stretch by 1/speed with anti-aliasing: the native Kaiser
+        polyphase resampler when available (GIL-free), scipy
+        ``resample_poly`` otherwise."""
         old_len = len(samples)
         new_len = int(old_len / speed)
-        try:
-            from scipy.signal import resample_poly
-            up, down = cls._RATIOS[speed]
-            out = resample_poly(np.asarray(samples, np.float64), up, down)
-            if len(out) < new_len:
-                out = np.pad(out, (0, new_len - len(out)))
-            return out[:new_len].astype(np.float32)
-        except ImportError:  # pragma: no cover - scipy is in the image
-            old_idx = np.linspace(0, old_len - 1, new_len)
-            return np.interp(old_idx, np.arange(old_len),
-                             samples).astype(np.float32)
+        up, down = cls._RATIOS[speed]
+        from ..native import resample_native
+        out = resample_native(np.asarray(samples, np.float32), down, up)
+        if out is None:
+            try:
+                from scipy.signal import resample_poly
+                out = resample_poly(np.asarray(samples, np.float64),
+                                    up, down)
+            except ImportError:  # pragma: no cover - scipy in the image
+                old_idx = np.linspace(0, old_len - 1, new_len)
+                return np.interp(old_idx, np.arange(old_len),
+                                 samples).astype(np.float32)
+        if len(out) < new_len:
+            out = np.pad(out, (0, new_len - len(out)))
+        return out[:new_len].astype(np.float32)
 
     def __call__(self, samples, spk_id, rng: random.Random = random):
         if rng.random() >= self.prob:
