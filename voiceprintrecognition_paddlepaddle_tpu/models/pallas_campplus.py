@@ -55,10 +55,11 @@ if _ABLATE:  # pragma: no cover - debug-only path
         "WRONG embeddings (perf-triage mode). Unset it for real inference.",
         _ABLATE)
 
-__all__ = ["pack_trunk", "pack_trunk_grouped", "trunk_stats_pallas",
-           "campplus_embed_pallas", "trunk_plan", "trunk_geometry",
-           "trunk_stats_from_parts", "make_campplus_embed_fn",
-           "make_campplus_masked_embed_fn"]
+__all__ = ["pack_trunk", "pack_trunk_grouped", "default_pack",
+           "trunk_stats_pallas", "campplus_embed_pallas", "trunk_plan",
+           "trunk_geometry", "trunk_stats_from_parts",
+           "make_campplus_embed_fn", "make_campplus_masked_embed_fn",
+           "make_campplus_eval_embed_fn"]
 
 # kernel variant: "looped" compiles the 52 CAM layers as per-block
 # fori_loops over a uniform channel-group geometry (compile time ~constant
@@ -822,32 +823,28 @@ def make_campplus_embed_fn(model, variables, interpret=False):
     return embed
 
 
-def make_campplus_masked_embed_fn(model, variables, featurizer,
-                                  interpret=False):
-    """Fast path for PADDED/bucketed batches: returns a host callable
-    ``(waves (B, L) np, ratios (B,) np) -> embeddings (B, embd_dim)``.
-    ``featurizer``: an ``AudioFeaturizer`` (supplies ``featurize`` and
-    ``num_frames``).
-
-    Per-utterance pooling weights / masks are built host-side from the
-    ratios and passed as jit *arguments* — one compiled program per
-    (bucket length, batch) shape regardless of the actual lengths."""
+def make_campplus_eval_embed_fn(model, featurizer, interpret=False):
+    """Masked-kernel embed with the WEIGHTS as traced arguments: returns
+    a host callable ``(variables, packed, waves (B, L) np, ratios (B,)
+    np) -> embeddings`` — one compiled program per (bucket length,
+    batch) shape that serves *any* checkpoint. This is the
+    ``Trainer.evaluate()`` path, where the weights change every epoch
+    (``packed = default_pack(variables)``, cheap under jit)."""
     from .campplus import FCM
     from .layers import DenseBN
 
-    packed = jax.jit(lambda v: default_pack(v, trunk_plan()))(variables)
     fcm = FCM(dtype=model.dtype)
-    fcm_vars = {"params": variables["params"]["FCM_0"],
-                "batch_stats": variables["batch_stats"]["FCM_0"]}
     head = DenseBN(model.embd_dim, config_str="batchnorm_",
                    dtype=model.dtype)
-    head_vars = {"params": variables["params"]["DenseBN_0"],
-                 "batch_stats": variables["batch_stats"]["DenseBN_0"]}
 
     @functools.partial(jax.jit, static_argnames=("t_pad", "u", "b"))
-    def inner(waves, ratios, pt, msel, ssel, mask, corr, *, t_pad, u, b):
+    def inner(variables, packed, waves, ratios, pt, msel, ssel, mask,
+              corr, *, t_pad, u, b):
         feats = featurizer.featurize(waves, input_lens_ratio=ratios)
-        fcm_out = fcm.apply(fcm_vars, feats, train=False)
+        fcm_out = fcm.apply(
+            {"params": variables["params"]["FCM_0"],
+             "batch_stats": variables["batch_stats"]["FCM_0"]},
+            feats, train=False)
         b_pad = pt.shape[0] * u
         if b_pad != b:
             fcm_out = jnp.concatenate(
@@ -856,10 +853,12 @@ def make_campplus_masked_embed_fn(model, variables, featurizer,
         stats = trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel,
                                        mask, corr, t_pad, u,
                                        interpret=interpret)
-        return head.apply(head_vars, stats.astype(fcm_out.dtype),
-                          train=False)[:b]
+        return head.apply(
+            {"params": variables["params"]["DenseBN_0"],
+             "batch_stats": variables["batch_stats"]["DenseBN_0"]},
+            stats.astype(fcm_out.dtype), train=False)[:b]
 
-    def call(waves, ratios):
+    def call(variables, packed, waves, ratios):
         waves = np.asarray(waves)
         ratios = np.asarray(ratios, np.float32)
         b = waves.shape[0]
@@ -874,9 +873,29 @@ def make_campplus_masked_embed_fn(model, variables, featurizer,
         pt, msel, ssel, mask = _pool_matrices(tv, t_pad, u, n_segs)
         corr = np.sqrt(np.asarray(
             [t / max(t - 1, 1) for t in tv], np.float32))
-        return inner(jnp.asarray(waves), jnp.asarray(ratios),
-                     jnp.asarray(pt), jnp.asarray(msel), jnp.asarray(ssel),
+        return inner(variables, packed, jnp.asarray(waves),
+                     jnp.asarray(ratios), jnp.asarray(pt),
+                     jnp.asarray(msel), jnp.asarray(ssel),
                      jnp.asarray(mask), jnp.asarray(corr),
                      t_pad=t_pad, u=u, b=b)
+
+    return call
+
+
+def make_campplus_masked_embed_fn(model, variables, featurizer,
+                                  interpret=False):
+    """Fast path for PADDED/bucketed batches with a FIXED checkpoint
+    (serving): returns a host callable ``(waves (B, L) np, ratios (B,)
+    np) -> embeddings (B, embd_dim)``.
+
+    Per-utterance pooling weights / masks are built host-side from the
+    ratios and passed as jit *arguments* — one compiled program per
+    (bucket length, batch) shape regardless of the actual lengths."""
+    packed = jax.jit(lambda v: default_pack(v, trunk_plan()))(variables)
+    generic = make_campplus_eval_embed_fn(model, featurizer,
+                                          interpret=interpret)
+
+    def call(waves, ratios):
+        return generic(variables, packed, waves, ratios)
 
     return call

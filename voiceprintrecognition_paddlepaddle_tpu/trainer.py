@@ -118,6 +118,7 @@ class Trainer:
 
         self._jit_train_step = None
         self._jit_embed = None
+        self._fast_eval_fn = None
 
     # ------------------------------------------------------------------
     # setup
@@ -408,6 +409,38 @@ class Trainer:
         return {"params": self.state.params["backbone"],
                 "batch_stats": self.state.batch_stats["backbone"]}
 
+    def _maybe_fast_eval(self, variables):
+        """Masked Pallas-trunk embed for the per-epoch eval (CAM++ on
+        TPU): weights ride as traced args, so every epoch's checkpoint
+        reuses the same compiled program per eval bucket. Returns a
+        ``(waves np, ratios np) -> embeddings`` callable or None."""
+        from .models.campplus import CAMPPlus
+        if not (isinstance(self.model, CAMPPlus)
+                and jax.default_backend() == "tpu"
+                and jax.process_count() == 1
+                and getattr(self.model, "growth_rate", None) == 32
+                and getattr(self.model, "init_channels", None) == 128
+                and getattr(self.model, "bn_size", None) == 4
+                and self.configs.preprocess_conf.feature_method == "Fbank"
+                and self.audio_featurizer.feature_dim == 80
+                and getattr(self.audio_featurizer, "dither", 0.0) == 0.0):
+            return None
+        try:
+            from .models.pallas_campplus import (default_pack,
+                                                 make_campplus_eval_embed_fn,
+                                                 trunk_plan)
+            if self._fast_eval_fn is None:
+                self._fast_eval_fn = make_campplus_eval_embed_fn(
+                    self.model, self.audio_featurizer)
+            packed = jax.jit(
+                lambda v: default_pack(v, trunk_plan()))(variables)
+            fn = self._fast_eval_fn
+            return lambda waves, ratios: fn(variables, packed, waves,
+                                            ratios)
+        except Exception as e:  # pragma: no cover - fall back to XLA
+            logger.warning(f"Pallas eval path disabled ({e!r})")
+            return None
+
     # ------------------------------------------------------------------
     # public API (reference surface)
     # ------------------------------------------------------------------
@@ -663,11 +696,17 @@ class Trainer:
         else:
             variables = self._backbone_variables()
             n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        fast = self._maybe_fast_eval(variables) if n_dev == 1 else None
         feats, labels = [], []
         for kind, data, y, lens in loader:
             if self.stop_eval:
                 break
             b = data.shape[0]
+            if fast is not None and kind == "waveforms":
+                emb = fast(np.asarray(data), np.asarray(lens))
+                feats.append(np.asarray(emb))
+                labels.append(np.asarray(y))
+                continue
             pad = (-b) % n_dev
             if pad:
                 data = np.concatenate(
