@@ -77,7 +77,15 @@ def _folded_dft_np(frame_len, n_fft, preemph=0.97):
 
 
 def _kernel(x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref, *, n_bins,
-            log_eps, shifts):
+            log_eps, shifts, n_chunks):
+    """One (batch-step, bin-chunk) grid cell: the DFT accumulation is
+    split across the SECOND grid dimension — each cell computes a
+    contiguous chunk of [cos | sin] spectrum lanes and accumulates its
+    partial mel projection into the revisited out block. Splitting the
+    lanes keeps per-cell temporaries small, which lifts the scoped-VMEM
+    ceiling that capped row blocks at u=4 (ROADMAP round-2: 2.6 ms where
+    the matmuls cost ~1 ms)."""
+    c = pl.program_id(1)
     x = x_ref[:]                                           # (R, shift) f32
     x_hi = x.astype(jnp.bfloat16)
     x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -89,13 +97,24 @@ def _kernel(x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref, *, n_bins,
         return jnp.concatenate(
             [p[s:], jnp.zeros((s, p.shape[1]), p.dtype)], axis=0)
 
-    spec = up(jnp.dot(xx, w0_ref[:], preferred_element_type=jnp.float32), 0)
+    spec = up(jnp.dot(xx, w0_ref[0], preferred_element_type=jnp.float32), 0)
     for s, w_ref in zip(shifts, (w1_ref, w2_ref)):
         spec = spec + up(
-            jnp.dot(xx, w_ref[:], preferred_element_type=jnp.float32), s)
+            jnp.dot(xx, w_ref[0], preferred_element_type=jnp.float32), s)
     power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
-    mels = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.log(jnp.maximum(mels, log_eps))
+    mels = jnp.dot(power, mel_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = mels
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[:] = out_ref[:] + mels
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[:] = jnp.log(jnp.maximum(out_ref[:], log_eps))
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_mels", "frame_length",
@@ -126,11 +145,13 @@ def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
         w = jnp.pad(w, ((0, 0), (0, need - w.shape[-1])))
     x = w.reshape(b, rows_u, shift)
 
-    # utterances per grid step: keep block rows ~2k and sublane-aligned;
-    # candidates must divide the batch, so no batch padding is needed
+    # utterances per grid step: the 2-D grid (batch step x bin chunk)
+    # keeps per-cell temporaries ~4x smaller, so row blocks can grow to
+    # ~4-5k and amortise per-op overhead; candidates must divide the
+    # batch, so no batch padding is needed
     u = 1
     for cand in (16, 8, 4, 2):
-        if b % cand == 0 and cand * rows_u <= 2048 and (cand * rows_u) % 8 == 0:
+        if b % cand == 0 and cand * rows_u <= 5120 and (cand * rows_u) % 8 == 0:
             u = cand
             break
     b_pad = b
@@ -147,37 +168,49 @@ def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
     keep = n_fft // 2
     mel_np = kaldi._kaldi_mel_banks_np(n_mels, n_fft, sr)
     assert np.all(mel_np[keep] == 0.0)  # Nyquist weight; holds for high=Nyq
-    mel = jnp.asarray(mel_np[:keep])
+
+    # bin chunks: each grid cell handles `cb` bins = 2*cb spectrum lanes
+    n_chunks = 4 if keep % 4 == 0 else 1
+    cb = keep // n_chunks
 
     def packed(piece):
-        """(shift, 2*keep) fp64 -> (3*shift, 2*keep) bf16 [hi; lo; hi]."""
+        """(shift, 2*keep) fp64 -> (n_chunks, 3*shift, 2*cb) bf16 with
+        [hi; lo; hi] row packing and per-chunk [cos | sin] columns."""
         p = np.zeros((shift, 2 * keep), np.float64)
         p[:piece.shape[0]] = piece
         hi = p.astype(np.float32).astype(jnp.bfloat16)
         lo = (p - np.asarray(hi, np.float64)).astype(np.float32) \
             .astype(jnp.bfloat16)
         # rows [0:S] multiply x_hi -> hi ; [S:2S] x_hi -> lo ; [2S:] x_lo -> hi
-        return jnp.asarray(np.concatenate([hi, lo, hi], axis=0))
+        full = np.concatenate([hi, lo, hi], axis=0)        # (3S, 2*keep)
+        chunks = [np.concatenate(
+            [full[:, c * cb:(c + 1) * cb],
+             full[:, keep + c * cb:keep + (c + 1) * cb]], axis=1)
+            for c in range(n_chunks)]
+        return jnp.asarray(np.stack(chunks))
 
     w0 = packed(bmat[0:shift])
     w1 = packed(bmat[shift:2 * shift])
     w2 = packed(bmat[2 * shift:frame_len])
+    mel = jnp.asarray(np.stack(
+        [mel_np[c * cb:(c + 1) * cb] for c in range(n_chunks)]))
 
     kernel = functools.partial(
-        _kernel, n_bins=keep, log_eps=float(np.finfo(np.float32).eps),
-        shifts=(1, 2))
-    grid = (x.shape[0] // rows,)
-    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+        _kernel, n_bins=cb, log_eps=float(np.finfo(np.float32).eps),
+        shifts=(1, 2), n_chunks=n_chunks)
+    grid = (x.shape[0] // rows, n_chunks)
+    wspec = lambda a: pl.BlockSpec((1,) + a.shape[1:],
+                                   lambda i, c: (c, 0, 0),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, shift), lambda i: (i, 0),
+            pl.BlockSpec((rows, shift), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
-            const(w0), const(w1), const(w2), const(mel),
+            wspec(w0), wspec(w1), wspec(w2), wspec(mel),
         ],
-        out_specs=pl.BlockSpec((rows, n_mels), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, n_mels), lambda i, c: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], n_mels), jnp.float32),
         interpret=interpret,
