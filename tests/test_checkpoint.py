@@ -144,3 +144,20 @@ def test_async_saver_orders_and_surfaces_errors(tmp_path):
     s.submit(lambda: order.append(5))
     s.close()
     assert order[-1] == 5
+
+
+def test_orbax_roundtrip(tmp_path):
+    """checkpoint_format: orbax writes Orbax directories instead of
+    msgpack files; auto-resume detects them transparently."""
+    save = str(tmp_path)
+    save_checkpoint(CFG, _state(3.25), save, epoch_id=2, eer=0.2,
+                    min_dcf=0.4, threshold=0.1, fmt="orbax")
+    d = os.path.join(save, "TDNN_Fbank", "epoch_2")
+    assert os.path.isdir(os.path.join(d, "model.orbax"))
+    assert os.path.isdir(os.path.join(d, "optimizer.orbax"))
+    assert not os.path.exists(os.path.join(d, "model.msgpack"))
+
+    state, last_epoch, best_eer = load_checkpoint(CFG, _state(0.0), save)
+    assert last_epoch == 2 and best_eer == 0.2
+    assert float(state.params["backbone"]["w"][0, 0]) == 3.25
+    assert int(state.step) == 7

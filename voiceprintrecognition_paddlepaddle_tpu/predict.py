@@ -56,12 +56,18 @@ class Predictor:
             input_size=self._audio_featurizer.feature_dim,
             configs=self.configs)
         if os.path.isdir(model_path):
-            model_path = os.path.join(model_path, "model.msgpack")
+            orbax_dir = os.path.join(model_path, "model.orbax")
+            model_path = (orbax_dir if os.path.isdir(orbax_dir)
+                          else os.path.join(model_path, "model.msgpack"))
         assert os.path.exists(model_path), f"model not found: {model_path}"
-        # restore raw msgpack and take the backbone collections
-        from flax import serialization
-        with open(model_path, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
+        if os.path.isdir(model_path):  # orbax checkpoint directory
+            from .utils.checkpoint import load_orbax
+            raw = load_orbax(None, model_path)
+        else:
+            # restore raw msgpack and take the backbone collections
+            from flax import serialization
+            with open(model_path, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
         params = raw["params"]
         stats = raw.get("batch_stats", {})
         if "backbone" in params:

@@ -28,7 +28,8 @@ from .. import __version__
 from .logger import logger
 
 __all__ = ["save_checkpoint", "load_checkpoint", "load_pretrained",
-           "save_msgpack", "load_msgpack", "AsyncSaver"]
+           "save_msgpack", "load_msgpack", "save_orbax", "load_orbax",
+           "AsyncSaver"]
 
 
 class AsyncSaver:
@@ -102,9 +103,48 @@ def load_msgpack(target, path):
         return serialization.from_bytes(target, f.read())
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend: sharded/atomic checkpointing for large (multi-host) runs
+# ---------------------------------------------------------------------------
+def save_orbax(tree, path):
+    """Atomic Orbax save of a pytree directory. For multi-host SHARDED
+    states every process must call this (Orbax writes per-host shards);
+    with replicated params (this framework's DP) a rank-0 call suffices,
+    matching the msgpack path's gating. Opt in with
+    ``train_conf.checkpoint_format: orbax`` (msgpack stays the default —
+    single-file, grep-able, no directory protocol)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    shutil.rmtree(path, ignore_errors=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+
+
+def load_orbax(target, path):
+    """Restore an Orbax directory against ``target``'s structure (and
+    shardings, when the target holds jax.Arrays)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), target=target)
+
+
+def _save_tree(tree, dirpath, name, fmt):
+    if fmt == "orbax":
+        save_orbax(tree, os.path.join(dirpath, name + ".orbax"))
+    else:
+        save_msgpack(tree, os.path.join(dirpath, name + ".msgpack"))
+
+
+def _load_tree(target, dirpath, name):
+    orbax_path = os.path.join(dirpath, name + ".orbax")
+    if os.path.isdir(orbax_path):
+        return load_orbax(target, orbax_path)
+    return load_msgpack(target, os.path.join(dirpath, name + ".msgpack"))
+
+
 def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
                     min_dcf=None, threshold=None, margin=None,
-                    best_model=False, async_saver=None):
+                    best_model=False, async_saver=None, fmt=None):
     """``state`` is the trainer's TrainState pytree.
 
     With ``async_saver`` (an :class:`AsyncSaver`), the device→host snapshot
@@ -112,6 +152,9 @@ def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
     reused) while serialization + disk IO run in the background."""
     tag = "best_model" if best_model else f"epoch_{epoch_id}"
     model_path = _ckpt_dir(configs, save_model_path, tag)
+    if fmt is None:
+        fmt = configs.get("train_conf", {}).get("checkpoint_format",
+                                                "msgpack")
 
     model_tree = jax.device_get(
         {"params": state.params, "batch_stats": state.batch_stats,
@@ -133,8 +176,8 @@ def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
         if os.path.exists(model_path):
             shutil.rmtree(model_path)
         os.makedirs(model_path, exist_ok=True)
-        save_msgpack(model_tree, os.path.join(model_path, "model.msgpack"))
-        save_msgpack(opt_tree, os.path.join(model_path, "optimizer.msgpack"))
+        _save_tree(model_tree, model_path, "model", fmt)
+        _save_tree(opt_tree, model_path, "optimizer", fmt)
         with open(os.path.join(model_path, "model.state"), "w",
                   encoding="utf-8") as f:
             json.dump(data, f, indent=4, ensure_ascii=False)
@@ -161,18 +204,21 @@ def load_checkpoint(configs, state, save_model_path, resume_model=None):
     last_epoch, best_eer = 0, 1.0
     model_path = resume_model or _ckpt_dir(configs, save_model_path,
                                            "last_model")
-    model_file = os.path.join(model_path, "model.msgpack")
-    opt_file = os.path.join(model_path, "optimizer.msgpack")
-    if not (os.path.exists(model_file) and os.path.exists(opt_file)):
+    def _has(name):
+        return (os.path.exists(os.path.join(model_path, name + ".msgpack"))
+                or os.path.isdir(os.path.join(model_path, name + ".orbax")))
+
+    if not (_has("model") and _has("optimizer")):
         if resume_model is not None:
             raise FileNotFoundError(f"checkpoint not found: {model_path}")
         return state, last_epoch, best_eer
     try:
-        model_tree = load_msgpack(
+        model_tree = _load_tree(
             {"params": state.params, "batch_stats": state.batch_stats,
-             "loss_params": state.loss_params}, model_file)
-        opt_tree = load_msgpack(
-            {"opt_state": state.opt_state, "step": state.step}, opt_file)
+             "loss_params": state.loss_params}, model_path, "model")
+        opt_tree = _load_tree(
+            {"opt_state": state.opt_state, "step": state.step}, model_path,
+            "optimizer")
         state = state.replace(params=model_tree["params"],
                               batch_stats=model_tree["batch_stats"],
                               loss_params=model_tree["loss_params"],
