@@ -110,3 +110,46 @@ def test_trunk_kernel_masked_padded_batch(model_and_vars):
             model, variables, jnp.asarray(feats_full[i:i + 1, :v]),
             interpret=True))[0]
         assert _cos(exact[None], got[i:i + 1]) > 0.999, (i, v)
+
+
+def test_looped_variant_long_clip_matches_xla(model_and_vars):
+    """Clips past the unrolled variant's compile wall (t_pad > 160)
+    dispatch to the LOOPED kernel (per-block fori_loops over channel
+    groups); parity against XLA on a ~6 s clip, including the 3-D
+    out-slab layout at u not a multiple of 8."""
+    from voiceprintrecognition_paddlepaddle_tpu.models import \
+        pallas_campplus as pc
+    model, variables = model_and_vars
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(3, 602, 80).astype(np.float32))
+    t_valid, t_pad, u, _ = pc.trunk_geometry(602)
+    assert pc._use_looped(t_pad)  # the long-clip path under "auto"
+    ref = np.asarray(model.apply(variables, feats, train=False))
+    got = np.asarray(campplus_embed_pallas(model, variables, feats,
+                                           interpret=True))
+    assert _cos(ref, got) > 0.9999
+
+
+def test_looped_variant_masked_long_clip(model_and_vars):
+    """Masked padded-batch eval path through the looped kernel: padded
+    ~6 s bucket with mixed valid lengths vs per-clip XLA."""
+    from voiceprintrecognition_paddlepaddle_tpu.models import \
+        pallas_campplus as pc
+    model, variables = model_and_vars
+    rng = np.random.RandomState(4)
+    t_pad_frames = 602
+    valids = [602, 450]
+    feats_pad = np.zeros((2, t_pad_frames, 80), np.float32)
+    for i, v in enumerate(valids):
+        feats_pad[i, :v] = rng.randn(v, 80)
+    _, t_pad, _, _ = pc.trunk_geometry(t_pad_frames)
+    assert pc._use_looped(t_pad)
+    got = np.asarray(campplus_embed_pallas(
+        model, variables, jnp.asarray(feats_pad), interpret=True,
+        tvalids=[(v - 1) // 2 + 1 for v in valids]))
+    for i, v in enumerate(valids):
+        ref = np.asarray(model.apply(
+            variables, jnp.asarray(feats_pad[i:i + 1, :v]), train=False))
+        cos = float((ref[0] * got[i]).sum()
+                    / (np.linalg.norm(ref[0]) * np.linalg.norm(got[i])))
+        assert cos > 0.999, (i, cos)

@@ -62,11 +62,24 @@ __all__ = ["pack_trunk", "pack_trunk_grouped", "default_pack",
            "make_campplus_eval_embed_fn"]
 
 # kernel variant: "looped" compiles the 52 CAM layers as per-block
-# fori_loops over a uniform channel-group geometry (compile time ~constant
-# in depth and length); "unrolled" is the round-2 trace-time unroll
-# (slightly fewer FLOPs, but Mosaic compile time grows superlinearly in
-# rows-per-step — ~4 min at 1280 rows, >40 min at 3584)
-_VARIANT = os.environ.get("VPR_TRUNK_VARIANT", "looped")
+# fori_loops over a uniform channel-group geometry (fresh compile ~17 s
+# at a 20 s bucket); "unrolled" is the round-2 trace-time unroll
+# (~10% faster steady-state at short buckets, but Mosaic compile time
+# grows superlinearly in rows-per-step — ~4 min at 1280 rows, >40 min at
+# 3584). The default "auto" uses unrolled for short buckets (the serving
+# hot path, warmed by the persistent cache) and looped beyond its
+# compile wall.
+_VARIANT = os.environ.get("VPR_TRUNK_VARIANT", "auto")
+# rows-per-step ceiling for the unrolled variant (measured compile wall)
+_UNROLL_MAX_TPAD = 160
+
+
+def _use_looped(t_pad):
+    if _VARIANT == "looped":
+        return True
+    if _VARIANT == "unrolled":
+        return False
+    return t_pad > _UNROLL_MAX_TPAD
 
 SEG_LEN = 100  # reference campplus.py:96 seg_pooling window
 
@@ -209,14 +222,15 @@ def pack_trunk(variables, plan=None, compute_dtype=jnp.bfloat16):
 
 
 def pack_trunk_grouped(variables, plan=None, compute_dtype=jnp.bfloat16):
-    """CAM++ flax variables -> packed arrays for the LOOPED kernel.
+    """CAM++ flax variables -> packed arrays for BOTH kernel variants.
 
-    Same data as :func:`pack_trunk`, re-laid-out for dynamic per-layer
-    indexing: the ragged ``w_lin1`` stripes become a uniform
-    ``(L, 8, 128, 128)`` array (zero-padded beyond each layer's ``cin`` —
-    together with the zero-extended wide affines this makes the masked-K
-    group matmuls exact), and the per-layer small matrices get a leading
-    layer axis."""
+    Superset of :func:`pack_trunk` (whose flat arrays the unrolled kernel
+    slices at static offsets), plus the looped kernel's group layout
+    under ``*g``/``*3`` keys: the ragged ``w_lin1`` stripes become a
+    uniform ``(L, 8, 128, 128)`` array (zero-padded beyond each layer's
+    ``cin`` — together with the zero-extended wide affines this makes the
+    masked-K group matmuls exact), and the per-layer small matrices get a
+    leading layer axis. The extra HBM copy is ~14 MB."""
     if plan is None:
         plan = trunk_plan()
     packed = pack_trunk(variables, plan, compute_dtype)
@@ -229,13 +243,12 @@ def pack_trunk_grouped(variables, plan=None, compute_dtype=jnp.bfloat16):
         wl = jnp.pad(wl, ((0, 1024 - cin), (0, 0))).reshape(8, 128, bn_ch)
         w = w.at[l].set(wl)
     out = dict(packed)
-    del out["w_lin1"]
     out["w_lin1g"] = w
-    out["w_localT"] = packed["w_localT"].reshape(L, 3 * growth, bn_ch)
-    out["w_cam1T"] = packed["w_cam1T"].reshape(L, bn_ch // 2, bn_ch)
-    out["w_cam2T"] = packed["w_cam2T"].reshape(L, growth, bn_ch // 2)
-    out["wide_a"] = packed["wide_a"].reshape(L + 4, 8, 128)
-    out["wide_b"] = packed["wide_b"].reshape(L + 4, 8, 128)
+    out["w_localT3"] = packed["w_localT"].reshape(L, 3 * growth, bn_ch)
+    out["w_cam1T3"] = packed["w_cam1T"].reshape(L, bn_ch // 2, bn_ch)
+    out["w_cam2T3"] = packed["w_cam2T"].reshape(L, growth, bn_ch // 2)
+    out["wide_a3"] = packed["wide_a"].reshape(L + 4, 8, 128)
+    out["wide_b3"] = packed["wide_b"].reshape(L + 4, 8, 128)
     return out
 
 
@@ -467,35 +480,44 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                 w = w_lin1g_ref[pl.ds(l, 1), pl.ds(g, 1), :, :][0, 0]
                 return acc + jnp.dot(h, w, preferred_element_type=f32)
 
-            h1 = jax.lax.fori_loop(0, ng, grp_body,
-                                   jnp.zeros((rows, bn_ch), f32))
+            if _ABLATE == "nolin1":
+                h1 = xcat_ref[0].astype(f32)
+            else:
+                h1 = jax.lax.fori_loop(0, ng, grp_body,
+                                       jnp.zeros((rows, bn_ch), f32))
             h1 = h1 + row2(narrow_ref, l)
             x2 = jnp.maximum(h1 * row2(narrow_ref, L + l)
                              + row2(narrow_ref, 2 * L + l), 0.0)
             x2 = (x2 * mask).astype(compute_dtype)
 
-            # local k3 dilated conv: one (bn, 3*growth) matmul + shifts
-            wl = w_localT_ref[pl.ds(l, 1), :, :][0]
-            a = dotT(x2, wl)
-            ad, au = _shift_down(a, dil), _shift_up(a, dil)
-            y = (ad[:, :growth] + a[:, growth:2 * growth]
-                 + au[:, 2 * growth:3 * growth])
             cb = row2(cam_bias_ref, l)                   # (1, 128)
-            y = y + cb[:, :growth]
+            if _ABLATE == "nolocal":
+                y = x2[:, :growth].astype(f32)
+            else:
+                # local k3 dilated conv: one (bn, 3*growth) matmul + shifts
+                wl = w_localT_ref[pl.ds(l, 1), :, :][0]
+                a = dotT(x2, wl)
+                ad, au = _shift_down(a, dil), _shift_up(a, dil)
+                y = (ad[:, :growth] + a[:, growth:2 * growth]
+                     + au[:, 2 * growth:3 * growth])
+                y = y + cb[:, :growth]
 
-            # CAM context gate
-            pooled = jnp.dot(pt, x2.astype(f32),
-                             preferred_element_type=f32)
-            ctx = jnp.dot(msel, pooled, preferred_element_type=f32)
-            w1 = w_cam1T_ref[pl.ds(l, 1), :, :][0]
-            c1 = dotT(ctx.astype(compute_dtype), w1)
-            c1 = jnp.maximum(
-                c1 + cb[:, 2 * growth:2 * growth + bn_ch // 2], 0.0)
-            w2 = w_cam2T_ref[pl.ds(l, 1), :, :][0]
-            g = dotT(c1.astype(compute_dtype), w2)
-            g = jax.nn.sigmoid(g + cb[:, growth:2 * growth])
-            gate = jnp.dot(ssel, g.astype(compute_dtype),
-                           preferred_element_type=f32)
+            if _ABLATE == "nocam":
+                gate = 1.0
+            else:
+                # CAM context gate
+                pooled = jnp.dot(pt, x2.astype(f32),
+                                 preferred_element_type=f32)
+                ctx = jnp.dot(msel, pooled, preferred_element_type=f32)
+                w1 = w_cam1T_ref[pl.ds(l, 1), :, :][0]
+                c1 = dotT(ctx.astype(compute_dtype), w1)
+                c1 = jnp.maximum(
+                    c1 + cb[:, 2 * growth:2 * growth + bn_ch // 2], 0.0)
+                w2 = w_cam2T_ref[pl.ds(l, 1), :, :][0]
+                g = dotT(c1.astype(compute_dtype), w2)
+                g = jax.nn.sigmoid(g + cb[:, growth:2 * growth])
+                gate = jnp.dot(ssel, g.astype(compute_dtype),
+                               preferred_element_type=f32)
 
             out = ((y * gate) * mask).astype(compute_dtype)
             gi = g0 + li // 4
@@ -568,14 +590,14 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
                          memory_space=pltpu.VMEM),
             const(*packed["w_stem"].shape),
             const(*packed["w_lin1g"].shape),
-            const(*packed["w_localT"].shape),
-            const(*packed["w_cam1T"].shape),
-            const(*packed["w_cam2T"].shape),
+            const(*packed["w_localT3"].shape),
+            const(*packed["w_cam1T3"].shape),
+            const(*packed["w_cam2T3"].shape),
             const(*packed["transits"][0].shape),
             const(*packed["transits"][1].shape),
             const(*packed["transits"][2].shape),
-            const(*packed["wide_a"].shape),
-            const(*packed["wide_b"].shape),
+            const(*packed["wide_a3"].shape),
+            const(*packed["wide_b3"].shape),
             const(*packed["tbias"].shape),
             const(*packed["narrow"].shape),
             const(*packed["cam_bias"].shape),
@@ -597,10 +619,10 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
         scratch_shapes=[pltpu.VMEM((8, rows, 128), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(xe, xo, packed["w_stem"], packed["w_lin1g"], packed["w_localT"],
-      packed["w_cam1T"], packed["w_cam2T"], *packed["transits"],
-      packed["wide_a"], packed["wide_b"], packed["tbias"], packed["narrow"],
-      packed["cam_bias"], pt, msel, ssel, mask)
+    )(xe, xo, packed["w_stem"], packed["w_lin1g"], packed["w_localT3"],
+      packed["w_cam1T3"], packed["w_cam2T3"], *packed["transits"],
+      packed["wide_a3"], packed["wide_b3"], packed["tbias"],
+      packed["narrow"], packed["cam_bias"], pt, msel, ssel, mask)
     return out[:, :u].reshape(-1, 2 * cf)
 
 
@@ -700,9 +722,8 @@ def _pool_matrices(tvalids, t_pad, u, n_segs):
 
 
 def default_pack(variables, plan=None, compute_dtype=jnp.bfloat16):
-    """Pack for the default kernel variant (see ``_VARIANT``)."""
-    fn = pack_trunk_grouped if _VARIANT == "looped" else pack_trunk
-    return fn(variables, plan, compute_dtype)
+    """Superset pack serving both kernel variants (hybrid dispatch)."""
+    return pack_trunk_grouped(variables, plan, compute_dtype)
 
 
 def trunk_geometry(t_raw, u=None):
@@ -717,7 +738,7 @@ def trunk_geometry(t_raw, u=None):
         # tiles: rows=8192 exceeded 9.5 min), so long clips cap rows by
         # dropping u — the looped out-slab layout allows any u >= 1,
         # while the unrolled variant's flat out BlockSpec needs u % 8
-        if _VARIANT == "looped":
+        if _use_looped(t_pad):
             u = 16 if 16 * t_pad <= 2560 else max(1, min(16, 2048 // t_pad))
         else:
             u = 16 if 16 * t_pad <= 2560 else 8
@@ -743,7 +764,11 @@ def trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask, corr,
     pad_t = t_pad - t_valid
     xe = jnp.pad(xe, ((0, 0), (0, pad_t), (0, 0))).reshape(-1, c_in)
     xo = jnp.pad(xo, ((0, 0), (0, pad_t), (0, 0))).reshape(-1, c_in)
-    call = _trunk_call_looped if "w_lin1g" in packed else _trunk_call
+    if "w_lin1g" in packed and ("w_lin1" not in packed
+                                or _use_looped(t_pad)):
+        call = _trunk_call_looped
+    else:
+        call = _trunk_call
     out = call(packed, xe, xo, pt, msel, ssel, mask,
                plan_key=(t_pad, u), interpret=interpret)
     cf = plan["final_channels"]

@@ -76,10 +76,12 @@ class Predictor:
         logger.info(f"loaded model weights: {model_path}")
 
         self._jit_embed = jax.jit(self._embed_impl)
-        # longest bucket served by the Pallas trunk kernel: 4 s at 16 kHz
-        # (t_pad 224 -> 1792 rows/step; beyond this Mosaic compile time
-        # and VMEM grow superlinearly — see models/pallas_campplus.py)
-        self._FAST_PATH_MAX_SAMPLES = 64000
+        # longest bucket served by the Pallas trunk kernel: 40 s at
+        # 16 kHz (t_pad 2048 at u=1 — the looped kernel variant compiles
+        # in ~15-20 s per bucket and VMEM bounds the rest; the round-2
+        # unrolled variant capped this at 4 s). Longer clips fall back
+        # to XLA.
+        self._FAST_PATH_MAX_SAMPLES = 640000
         self._embed_fast = self._maybe_make_fast_embed()
 
         # voiceprint database state (reference ``predict.py:69-86``)
@@ -313,10 +315,8 @@ class Predictor:
                 waves[j, :len(s)] = s
                 ratios[j] = len(s) / max_len
             ratios_valid = ratios[:b_real]
-            # the trunk kernel's Mosaic compile time grows superlinearly
-            # with rows-per-step; clips bucketed above ~4 s would trigger
-            # tens-of-minutes compiles (or VMEM pressure) on first use, so
-            # long audio stays on the XLA path
+            # VMEM bounds the trunk kernel's row blocks (~2k rows/step at
+            # u=1 = ~40 s buckets); rarer longer audio stays on XLA
             fast_ok = (self._embed_fast is not None
                        and max_len <= self._FAST_PATH_MAX_SAMPLES)
             if fast_ok and bool(np.all(ratios_valid == 1.0)):
