@@ -84,6 +84,7 @@ def main(seconds=3.0, batch=256, u=16, outdir=None):
     durs = defaultdict(float)
     counts = defaultdict(int)
     pid_names = {}
+    outer = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev["args"].get("name", "")
@@ -93,11 +94,17 @@ def main(seconds=3.0, batch=256, u=16, outdir=None):
         pname = pid_names.get(ev.get("pid"), "")
         if "TPU" not in pname and "/device" not in pname:
             continue
-        durs[ev["name"]] += ev.get("dur", 0) / 1e3
-        counts[ev["name"]] += 1
-    total = sum(durs.values())
-    print(f"device total: {total:.2f} ms over 5 iters "
-          f"({total / 5:.2f} ms/iter)")
+        name = ev["name"]
+        if name.startswith("jit_"):
+            # the outermost program event spans (and double-counts) every
+            # op inside it: it IS the per-call device total
+            outer += ev.get("dur", 0) / 1e3
+            continue
+        durs[name] += ev.get("dur", 0) / 1e3
+        counts[name] += 1
+    print(f"device total (outer jit event): {outer:.2f} ms over 5 iters "
+          f"({outer / 5:.2f} ms/iter)")
+    print("per-op (the `while` row spans the chained loop body):")
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:25]:
         print(f"  {d:9.3f} ms  x{counts[name]:<4d} {name[:90]}")
 
