@@ -111,6 +111,63 @@ def test_export_then_predict(trained):
     assert np.allclose(emb, emb2, atol=1e-5)
 
 
+def test_export_length_polymorphic_campplus(tmp_path):
+    """``export_seconds=None`` emits ONE StableHLO module whose audio length
+    is symbolic (``160*f + 240`` samples = ``f`` Kaldi frames), so a single
+    artifact serves every duration bucket. CAM++ is the hard case: its
+    CAMLayer seg-pooling needs dim-expression-safe ceil/count arithmetic."""
+    import jax
+    import jax.numpy as jnp
+    from voiceprintrecognition_paddlepaddle_tpu.data_utils.featurizer import (
+        AudioFeaturizer)
+    from voiceprintrecognition_paddlepaddle_tpu.ops.features import (
+        compute_feature)
+    from voiceprintrecognition_paddlepaddle_tpu.utils.checkpoint import (
+        save_msgpack)
+
+    cfg = _cfg(tmp_path)
+    cfg["preprocess_conf"]["method_args"]["n_mels"] = 40
+    cfg["model_conf"] = {
+        "model": "CAMPPlus",
+        "model_args": {"embd_dim": 16, "init_channels": 16, "growth_rate": 8},
+        "classifier": {"classifier_type": "Cosine", "num_speakers": 4}}
+    t = Trainer(configs=cfg)
+    t.audio_featurizer = AudioFeaturizer(
+        feature_method="Fbank", method_args={"sr": SR, "n_mels": 40})
+    t._Trainer__setup_model(input_size=40)
+    ckpt = tmp_path / "ck"
+    ckpt.mkdir()
+    save_msgpack(jax.device_get(
+        {"params": t.state.params, "batch_stats": t.state.batch_stats,
+         "loss_params": t.state.loss_params}), str(ckpt / "model.msgpack"))
+    (ckpt / "model.state").write_text('{"last_epoch": 0}', encoding="utf-8")
+
+    infer_dir = Trainer(configs=cfg).export(
+        save_model_path=str(tmp_path / "m"), resume_model=str(ckpt),
+        export_seconds=None)
+    hlo = os.path.join(infer_dir, "model.stablehlo")
+    assert os.path.exists(hlo), "symbolic-length StableHLO export failed"
+    with open(hlo, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+
+    rng = np.random.RandomState(0)
+    t2 = Trainer(configs=cfg)
+    t2.audio_featurizer = AudioFeaturizer(
+        feature_method="Fbank", method_args={"sr": SR, "n_mels": 40})
+    t2._Trainer__setup_model(input_size=40)
+    variables = {"params": t.state.params["backbone"],
+                 "batch_stats": t.state.batch_stats["backbone"]}
+    for secs, b in [(1.0, 1), (4.7, 2)]:
+        f_frames = max(10, (int(SR * secs) - 240) // 160)
+        wave = (0.1 * rng.randn(b, 160 * f_frames + 240)).astype(np.float32)
+        out = np.asarray(exported.call(jnp.asarray(wave)))
+        assert out.shape == (b, 16)
+        feats = compute_feature(jnp.asarray(wave), "Fbank",
+                                use_pallas=False, sr=SR, n_mels=40)
+        ref = t2.model.apply(variables, feats, train=False)
+        assert np.allclose(out, np.asarray(ref), atol=1e-5)
+
+
 def _run(script, *args):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")

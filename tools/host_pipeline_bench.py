@@ -144,7 +144,12 @@ def bench_e2e(list_path, batch, workers, n_spk=100, seconds=3):
     trainer.train(save_model_path=None, log_dir=None, do_eval=False)
     dt = time.perf_counter() - t0
     steps = int(trainer.state.step)
-    return steps * batch / dt, steps
+    # steady-state excludes the compile-laden first windows (the first
+    # log window contains the train-step jit compile; the second still
+    # carries loader thread spin-up)
+    speeds = sorted(trainer.train_window_speeds[2:])
+    steady = speeds[len(speeds) // 2] if speeds else steps * batch / dt
+    return steps * batch / dt, steady, steps
 
 
 def main():
@@ -174,11 +179,13 @@ def main():
               f"({gbps:.2f} GB/s)", flush=True)
 
     if args.e2e:
-        e2e_dps, steps = bench_e2e(list_path, args.batch, args.workers)
+        e2e_dps, steady, steps = bench_e2e(list_path, args.batch,
+                                           args.workers)
         out["e2e_data_per_sec"] = round(e2e_dps, 1)
+        out["e2e_steady_data_per_sec"] = round(steady, 1)
         out["e2e_steps"] = steps
-        print(f"end-to-end train: {e2e_dps:.0f} data/s over {steps} steps",
-              flush=True)
+        print(f"end-to-end train: {e2e_dps:.0f} data/s over {steps} steps "
+              f"(steady-state median {steady:.0f} data/s)", flush=True)
 
     print(json.dumps(out))
 

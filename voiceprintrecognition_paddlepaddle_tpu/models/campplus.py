@@ -11,6 +11,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import DenseBN
@@ -91,16 +92,24 @@ class CAMLayer(nn.Module):
 
     def _seg_pooling(self, x):
         """ceil-mode avg pool over time then nearest-repeat back to T
-        (reference ``campplus.py:96-106``)."""
+        (reference ``campplus.py:96-106``).
+
+        Written in dim-expression-safe arithmetic (``-(-t // n)`` instead of
+        ``math.ceil``, counts built from an iota comparison) so the module
+        also traces with a *symbolic* time dimension for the
+        length-polymorphic StableHLO export path."""
         b, t, c = x.shape
-        n_segs = math.ceil(t / self.seg_len)
+        n_segs = -(-t // self.seg_len)
         pad = n_segs * self.seg_len - t
         # ceil_mode avg pool: mean over actual (unpadded) elements per segment
         x_pad = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         sums = x_pad.reshape(b, n_segs, self.seg_len, c).sum(axis=2)
-        counts = jnp.concatenate(
-            [jnp.full((n_segs - 1,), self.seg_len, x.dtype),
-             jnp.asarray([t - (n_segs - 1) * self.seg_len], x.dtype)])
+        # every segment holds seg_len frames except a short final one
+        last = self.seg_len - pad
+        counts = jnp.where(
+            jax.lax.iota(jnp.int32, n_segs) < n_segs - 1,
+            jnp.asarray(self.seg_len, x.dtype),
+            jnp.asarray(last, x.dtype))
         seg = sums / counts[None, :, None]
         seg = jnp.repeat(seg, self.seg_len, axis=1)[:, :t, :]
         return seg

@@ -112,6 +112,7 @@ class Trainer:
         self.max_step = self.train_step_num = 0
         self.train_loss = self.train_acc = None
         self.train_eta_sec = None
+        self.train_window_speeds = []
         self.eval_eer = self.eval_min_dcf = self.eval_threshold = None
         self.test_log_step = self.train_log_step = 0
         self.stop_train = self.stop_eval = False
@@ -454,6 +455,7 @@ class Trainer:
         rank, world = local_process_info()
         self._profiler_dir = profiler_dir if rank == 0 else None
         self._profiling = False
+        self.train_window_speeds = []
         writer = None
         if rank == 0 and log_dir:
             try:
@@ -639,6 +641,9 @@ class Trainer:
                 step_sec = (now - last_log_time) / n_batches
                 last_log_time, last_log_batch = now, batch_id
                 train_speed = world_bs / step_sec
+                # windowed speeds kept for tooling (host_pipeline_bench
+                # separates steady-state from the compile-laden first window)
+                self.train_window_speeds.append(train_speed)
                 self.train_eta_sec = step_sec * (self.max_step
                                                  - self.train_step_num)
                 eta = timedelta(seconds=int(self.train_eta_sec))
@@ -848,8 +853,12 @@ class Trainer:
 
         ``export_batch=None`` (default) exports with a *symbolic* batch
         dimension, so one module serves any batch size; pass an int to pin
-        it. The audio length stays static (serving buckets lengths anyway;
-        export one module per bucket for variable-duration serving)."""
+        it. ``export_seconds=None`` additionally makes the audio length
+        symbolic: the module accepts any frame-aligned waveform length
+        ``160*f + 240`` samples at 16 kHz (i.e. exactly ``f`` Kaldi frames
+        of 25 ms / 10 ms — pad or trim to the next such length host-side),
+        so one module serves every duration bucket. An int keeps the
+        length static at ``export_seconds`` seconds."""
         self.audio_featurizer = AudioFeaturizer(
             feature_method=self.configs.preprocess_conf.feature_method,
             method_args=self.configs.preprocess_conf.get("method_args", {}))
@@ -903,12 +912,28 @@ class Trainer:
 
             sr = self.configs.dataset_conf.get("dataset", {}).get(
                 "sample_rate", 16000)
-            if export_batch is None:
-                (b,) = jax.export.symbolic_shape("b")
+            # one symbolic-length module for all durations: f Kaldi frames
+            # <=> 160*f + 240 samples (frame_shift 10 ms, frame_length
+            # 25 ms at 16 kHz)
+            b_spec = "b" if export_batch is None else str(export_batch)
+            if export_seconds is None:
+                ma = dict(self.configs.preprocess_conf.get(
+                    "method_args", {}))
+                if self.configs.preprocess_conf.feature_method == "Fbank":
+                    shift = int(sr * float(ma.get("frame_shift", 10.0))
+                                / 1000)
+                    flen = int(sr * float(ma.get("frame_length", 25.0))
+                               / 1000)
+                    l_spec = f"{shift}*f + {flen - shift}"
+                else:
+                    # centred-STFT methods: f+1 frames at hop-aligned L
+                    l_spec = f"{int(ma.get('hop_length', 160))}*f"
             else:
-                b = export_batch
-            example = jax.ShapeDtypeStruct(
-                (b, export_seconds * sr), jnp.float32)
+                l_spec = str(export_seconds * sr)
+            constraints = ["f >= 10"] if export_seconds is None else ()
+            shape = jax.export.symbolic_shape(f"{b_spec}, {l_spec}",
+                                              constraints=constraints)
+            example = jax.ShapeDtypeStruct(shape, jnp.float32)
             exported = jax.export.export(jax.jit(forward))(example)
             with open(os.path.join(infer_dir, "model.stablehlo"), "wb") as f:
                 f.write(exported.serialize())
