@@ -143,3 +143,28 @@ def test_speaker_diarization(env):
     # oracle speaker count path
     out2 = pred.speaker_diarization(audio, sample_rate=SR, speaker_num=2)
     assert len({s["speaker"] for s in out2}) <= 2
+
+
+def test_data_parallel_predict_batch_matches_single(env):
+    """``data_parallel=True`` shards batches over the 8-device test mesh;
+    embeddings must match the single-device path, including ragged batch
+    sizes and mixed lengths (padding-masked on every shard)."""
+    import jax
+    root, cfg, model_path = env
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    pred_sp = Predictor(configs=cfg, model_path=model_path)
+    pred_dp = Predictor(configs=cfg, model_path=model_path,
+                        data_parallel=True)
+    assert pred_dp._mesh is not None
+
+    clips = [_tone(140 + 17 * i, 0.6 + 0.13 * i, seed=i) for i in range(11)]
+    ref = pred_sp.predict_batch(clips)
+    out = pred_dp.predict_batch(clips)
+    assert out.shape == ref.shape == (11, 32)
+    assert np.allclose(out, ref, atol=1e-4)
+
+    # small batches (< n_dev) stay on the single-device path — identical
+    # to the plain Predictor's routing (exact-length, no padding)
+    assert np.allclose(pred_dp.predict(clips[0]), pred_sp.predict(clips[0]),
+                       atol=1e-5)

@@ -129,6 +129,8 @@ def main(argv=None):
     add_arg("host",          str,   "127.0.0.1", "bind address")
     add_arg("port",          int,   8000, "port")
     add_arg("use_gpu",       bool,  True, "use the accelerator (TPU)")
+    add_arg("data_parallel", bool,  False, "shard embedding batches over "
+            "every local device (multi-chip TPU hosts)")
     add_arg("warmup_seconds", str,  "", "comma-separated durations (e.g. "
             "'3,5') to pre-compile the embed programs for before serving; "
             "compiles persist in .jax_cache, so this is one-time per "
@@ -138,7 +140,8 @@ def main(argv=None):
 
     predictor = Predictor(configs=args.configs, model_path=args.model_path,
                           audio_db_path=args.audio_db_path,
-                          threshold=args.threshold, use_gpu=args.use_gpu)
+                          threshold=args.threshold, use_gpu=args.use_gpu,
+                          data_parallel=args.data_parallel)
     if args.warmup_seconds.strip():
         import numpy as np
         sr = 16000

@@ -40,7 +40,13 @@ class Predictor:
                  threshold=0.6,
                  audio_db_path=None,
                  model_path="models/CAMPPlus_Fbank/best_model/",
-                 use_gpu=True):
+                 use_gpu=True,
+                 data_parallel=False):
+        """``data_parallel=True`` shards ``predict_batch`` over every
+        local device (``jax.sharding.Mesh`` + batch sharding — the
+        serving-side analogue of the trainer's data parallelism; the
+        reference Predictor is single-GPU only). Embarrassingly parallel:
+        XLA inserts no collectives, each chip embeds its batch shard."""
         select_platform(use_gpu)
         if isinstance(configs, str):
             with open(configs, "r", encoding="utf-8") as f:
@@ -75,6 +81,12 @@ class Predictor:
         self.variables = {"params": params, "batch_stats": stats}
         logger.info(f"loaded model weights: {model_path}")
 
+        self._mesh = None
+        if data_parallel and len(jax.local_devices()) > 1:
+            from .parallel.mesh import create_mesh
+            self._mesh = create_mesh(jax.local_devices())
+            logger.info(f"data-parallel serving over "
+                        f"{self._mesh.devices.size} devices")
         self._jit_embed = jax.jit(self._embed_impl)
         # longest bucket served by the Pallas trunk kernel: 40 s at
         # 16 kHz (t_pad 2048 at u=1 — the looped kernel variant compiles
@@ -306,7 +318,14 @@ class Predictor:
             # (kernel compiles are minutes), while a single-clip predict
             # still runs at batch 1; padding rows are discarded below
             b_real = len(chunk)
-            b_pad = 1
+            # data-parallel serving: shard chunks with >= 1 clip per
+            # device over the mesh; smaller chunks (e.g. single-clip
+            # ``predict``) stay on one device where the Pallas fast
+            # path wins
+            n_dev = (self._mesh.devices.size
+                     if self._mesh is not None else 1)
+            use_dp = n_dev > 1 and b_real >= n_dev
+            b_pad = n_dev if use_dp else 1
             while b_pad < b_real:
                 b_pad *= 2
             waves = np.zeros((b_pad, max_len), np.float32)
@@ -315,6 +334,13 @@ class Predictor:
                 waves[j, :len(s)] = s
                 ratios[j] = len(s) / max_len
             ratios_valid = ratios[:b_real]
+            if use_dp:
+                from .parallel.mesh import shard_batch
+                waves_s, ratios_s = shard_batch((waves, ratios),
+                                                self._mesh)
+                emb = self._jit_embed(waves_s, ratios_s)
+                features.append(np.asarray(emb)[:b_real])
+                continue
             # VMEM bounds the trunk kernel's row blocks (~2k rows/step at
             # u=1 = ~40 s buckets); rarer longer audio stays on XLA
             fast_ok = (self._embed_fast is not None
