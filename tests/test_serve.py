@@ -27,7 +27,7 @@ def _wav_bytes(freq, seconds=1.0, seed=0):
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def stack(tmp_path_factory):
     from http.server import ThreadingHTTPServer
 
     from tests.test_predictor import _configs  # reuse tiny config builder
@@ -53,8 +53,13 @@ def server(tmp_path_factory):
                      audio_db_path=str(root / "db"), threshold=0.1)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(pred))
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", pred
     httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(stack):
+    return stack[0]
 
 
 def _post(url, body=b""):
@@ -122,3 +127,69 @@ def test_predictor_register_rejects_separators(server):
     # reach into the running predictor via a fresh registration name
     out = _expect_400(f"{server}/register?name=", _wav_bytes(120))
     assert "error" in out
+
+
+@pytest.fixture(scope="module")
+def batched_server(stack):
+    """Same predictor behind a second server with dynamic micro-batching
+    (generous 150 ms window so CI thread scheduling reliably aggregates)."""
+    from http.server import ThreadingHTTPServer
+
+    import tools.serve as serve
+    from voiceprintrecognition_paddlepaddle_tpu.infer_utils.micro_batcher \
+        import MicroBatcher
+
+    _, pred = stack
+    batcher = MicroBatcher(pred, window_ms=150.0, max_batch=32)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve.make_handler(pred, batcher))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", batcher
+    httpd.shutdown()
+
+
+def test_dynamic_batching_matches_unbatched(server, batched_server):
+    """Concurrent requests ride one device batch and return the same
+    embeddings as the per-request server."""
+    burl, batcher = batched_server
+    bodies = [_wav_bytes(110 + 25 * i, seconds=1.0, seed=40 + i)
+              for i in range(10)]
+    solo = [np.asarray(_post(f"{server}/embedding", b)["embedding"])
+            for b in bodies]
+
+    results = [None] * len(bodies)
+    errors = []
+
+    def hit(i):
+        try:
+            results[i] = np.asarray(
+                _post(f"{burl}/embedding", bodies[i])["embedding"])
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(bodies))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    for got, want in zip(results, solo):
+        assert np.allclose(got, want, atol=1e-4)
+    # aggregation actually happened: fewer device batches than requests
+    assert batcher.items >= len(bodies)
+    assert batcher.batches < batcher.items
+
+
+def test_batched_contrast_and_recognition(batched_server):
+    burl, _ = batched_server
+    assert _post(f"{burl}/register?name=carol",
+                 _wav_bytes(205, seed=77))["success"]
+    out = _post(f"{burl}/recognition", _wav_bytes(205, seed=78))
+    assert out["name"] is None or isinstance(out["name"], str)
+    score = _post(f"{burl}/contrast?other=carol/0.wav",
+                  _wav_bytes(205, seed=78))["score"]
+    assert -1.0 <= score <= 1.0
+    with urllib.request.urlopen(f"{burl}/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["items"] >= 1 and stats["batches"] >= 1

@@ -53,7 +53,19 @@ def _safe_db_file(path, audio_db_path):
     return target if os.path.commonpath([root, target]) == root else None
 
 
-def make_handler(predictor):
+def make_handler(predictor, batcher=None):
+    """``batcher`` (a ``MicroBatcher``) aggregates concurrent embed
+    requests into single device batches — see
+    ``infer_utils/micro_batcher.py``. ``None`` embeds per-request."""
+    import numpy as np
+
+    def _embed_many(audios):
+        segs = [predictor._load_audio(a) for a in audios]
+        if batcher is None:
+            return [predictor.predict(s) for s in segs]
+        futures = [batcher.embed_async(s.samples) for s in segs]
+        return [f.result() for f in futures]
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
             body = json.dumps(payload).encode("utf-8")
@@ -68,8 +80,13 @@ def make_handler(predictor):
             return self.rfile.read(n)
 
         def do_GET(self):
-            if urlparse(self.path).path == "/users":
+            path = urlparse(self.path).path
+            if path == "/users":
                 self._send(200, {"users": predictor.get_users()})
+            elif path == "/stats":
+                self._send(200, {
+                    "batches": getattr(batcher, "batches", 0),
+                    "items": getattr(batcher, "items", 0)})
             else:
                 self._send(404, {"error": "unknown endpoint"})
 
@@ -79,7 +96,7 @@ def make_handler(predictor):
             try:
                 audio = self._body()
                 if url.path == "/embedding":
-                    emb = predictor.predict(audio)
+                    emb = _embed_many([audio])[0]
                     self._send(200, {"embedding": emb.tolist()})
                 elif url.path == "/contrast":
                     other = _safe_db_file(q["other"],
@@ -88,7 +105,10 @@ def make_handler(predictor):
                         self._send(400, {"error": "'other' must name a "
                                                   "file inside audio_db"})
                         return
-                    score = predictor.contrast(audio, other)
+                    f1, f2 = _embed_many([audio, other])
+                    score = float(np.dot(f1, f2)
+                                  / (np.linalg.norm(f1)
+                                     * np.linalg.norm(f2)))
                     self._send(200, {"score": score})
                 elif url.path == "/register":
                     if not _safe_user_name(q.get("name", "")):
@@ -99,8 +119,11 @@ def make_handler(predictor):
                     self._send(200, {"success": bool(ok), "message": msg})
                 elif url.path == "/recognition":
                     thr = float(q["threshold"]) if "threshold" in q else None
+                    emb = _embed_many([audio])[0]
                     with _db_lock:
-                        name, score = predictor.recognition(audio, thr)
+                        if thr:
+                            predictor.threshold = thr
+                        name, score = predictor.retrieve(emb[None])[0]
                     self._send(200, {"name": name, "score": score})
                 elif url.path == "/diarization":
                     spk = int(q["speakers"]) if "speakers" in q else None
@@ -131,6 +154,11 @@ def main(argv=None):
     add_arg("use_gpu",       bool,  True, "use the accelerator (TPU)")
     add_arg("data_parallel", bool,  False, "shard embedding batches over "
             "every local device (multi-chip TPU hosts)")
+    add_arg("dynamic_batch_ms", float, 0.0, "aggregate concurrent embed "
+            "requests for up to this many ms into one device batch "
+            "(0 disables; 2-10 ms is typical — TPU throughput comes "
+            "from batching)")
+    add_arg("dynamic_batch_max", int, 64, "max clips per dynamic batch")
     add_arg("warmup_seconds", str,  "", "comma-separated durations (e.g. "
             "'3,5') to pre-compile the embed programs for before serving; "
             "compiles persist in .jax_cache, so this is one-time per "
@@ -152,8 +180,16 @@ def main(argv=None):
             wave[::321] = 0.05  # non-silent so VAD/normalize don't bail
             predictor.predict(wave)
         print("warmup done", flush=True)
+    batcher = None
+    if args.dynamic_batch_ms > 0:
+        from voiceprintrecognition_paddlepaddle_tpu.infer_utils.\
+            micro_batcher import MicroBatcher
+        batcher = MicroBatcher(predictor, window_ms=args.dynamic_batch_ms,
+                               max_batch=args.dynamic_batch_max)
+        print(f"dynamic batching: {args.dynamic_batch_ms:g} ms window, "
+              f"max {args.dynamic_batch_max}")
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(predictor))
+                                 make_handler(predictor, batcher))
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
 

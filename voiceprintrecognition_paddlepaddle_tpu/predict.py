@@ -267,6 +267,12 @@ class Predictor:
                 results.append([None, None])
         return results
 
+    def retrieve(self, np_features):
+        """Public cosine retrieval: ``(N, D)`` embeddings -> list of
+        ``[name, score]`` / ``[None, None]`` rows (serving front-ends
+        that embed through a batcher call this with ready features)."""
+        return self.__retrieval(np_features)
+
     def _load_audio(self, audio_data, sample_rate=16000):
         """Accepts path / file object / bytes / ndarray / AudioSegment
         (reference ``predict.py:189-216``)."""
