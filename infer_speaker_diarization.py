@@ -18,6 +18,9 @@ add_arg("speaker_num", int,  None, "oracle speaker count (optional)")
 add_arg("search_audio_db", bool, False,
         "name speakers by searching the voiceprint database")
 add_arg("show_plot",   bool, False, "render the diarization timeline")
+add_arg("threshold",   float, 0.6,
+        "same-speaker decision threshold for audio-db matching "
+        "(reference infer_speaker_diarization.py:19)")
 add_arg("model_path",  str,  "models/CAMPPlus_Fbank/best_model/",
         "exported model directory")
 args = parser.parse_args()
@@ -25,6 +28,7 @@ print_arguments(args=args)
 
 predictor = Predictor(
     configs=args.configs, model_path=args.model_path, use_gpu=args.use_gpu,
+    threshold=args.threshold,
     audio_db_path=args.audio_db_path if args.search_audio_db else None)
 results = predictor.speaker_diarization(args.audio_path,
                                         speaker_num=args.speaker_num,

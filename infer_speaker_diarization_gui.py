@@ -15,9 +15,14 @@ from voiceprintrecognition_paddlepaddle_tpu.utils.utils import (
 parser = argparse.ArgumentParser(description=__doc__)
 add_arg = functools.partial(add_arguments, argparser=parser)
 add_arg("configs",       str,  "configs/cam++.yml", "config file path")
+add_arg("audio_path",    str,  "dataset/test_long.wav",
+        "audio preselected in the file box")
 add_arg("use_gpu",       bool, True, "use the accelerator (TPU)")
 add_arg("audio_db_path", str,  "audio_db/", "voiceprint database directory")
 add_arg("search_audio_db", bool, False, "name speakers from the database")
+add_arg("speaker_num",   int,  None, "oracle speaker count (optional)")
+add_arg("threshold",     float, 0.6,
+        "same-speaker decision threshold for audio-db matching")
 add_arg("model_path",    str,  "models/CAMPPlus_Fbank/best_model/",
         "exported model directory")
 args = parser.parse_args()
@@ -30,17 +35,18 @@ class DiarizationGUI:
         window.title("speaker diarization")
         self.predictor = Predictor(
             configs=args.configs, model_path=args.model_path,
-            use_gpu=args.use_gpu,
+            use_gpu=args.use_gpu, threshold=args.threshold,
             audio_db_path=(args.audio_db_path if args.search_audio_db
                            else None))
-        self.path = tk.StringVar()
+        self.path = tk.StringVar(value=args.audio_path)
         tk.Label(window, text="audio:").grid(row=0, column=0)
         tk.Entry(window, textvariable=self.path, width=50).grid(row=0, column=1)
         tk.Button(window, text="browse",
                   command=lambda: self.path.set(
                       filedialog.askopenfilename())).grid(row=0, column=2)
         tk.Label(window, text="speakers (blank=auto):").grid(row=1, column=0)
-        self.spk_num = tk.StringVar()
+        self.spk_num = tk.StringVar(
+            value="" if args.speaker_num is None else str(args.speaker_num))
         tk.Entry(window, textvariable=self.spk_num, width=6).grid(row=1,
                                                                   column=1)
         tk.Button(window, text="run diarization",
