@@ -188,3 +188,31 @@ def test_extract_features_then_train(workdir, tmp_path):
     trainer2.train(save_model_path=str(tmp_path / "m2"),
                    log_dir=str(tmp_path / "log3"), do_eval=False)
     assert int(trainer2.state.step) > 0
+
+
+def test_gradient_accumulation(workdir, tmp_path):
+    """``train_conf.accum_steps`` wraps the optimizer in optax.MultiSteps:
+    parameters only move every k-th microbatch (effective batch = k x
+    batch_size), the MultiSteps opt_state round-trips through the
+    checkpoint, and auto-resume continues."""
+    import jax
+    import numpy as np
+
+    cfg = _configs(workdir, max_epoch=1)
+    cfg["train_conf"]["accum_steps"] = 2
+    save_dir = str(tmp_path / "models")
+    trainer = Trainer(configs=cfg, data_augment_configs=AUG)
+    trainer.train(save_model_path=save_dir, log_dir=None, do_eval=False)
+    assert trainer.accum_steps == 2
+    p1 = jax.device_get(trainer.state.params)
+
+    # resume with one more epoch: MultiSteps state deserializes
+    cfg2 = _configs(workdir, max_epoch=2)
+    cfg2["train_conf"]["accum_steps"] = 2
+    trainer2 = Trainer(configs=cfg2, data_augment_configs=AUG)
+    trainer2.train(save_model_path=save_dir, log_dir=None, do_eval=False)
+    p2 = jax.device_get(trainer2.state.params)
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, ab: acc + float(np.abs(ab).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, p1, p2), 0.0)
+    assert moved > 0.0, "resumed accumulation epoch did not update params"

@@ -103,6 +103,7 @@ class Trainer:
         self.margin_scheduler = None
         self.lr_schedule = None
         self.optimizer = None
+        self.accum_steps = 1
         self.augmenter = None
         self.mesh = None
         self.amp_dtype = (jnp.bfloat16
@@ -248,9 +249,23 @@ class Trainer:
                 self.margin_scheduler = MarginScheduler(
                     criterion=self.criterion,
                     step_per_epoch=len(self.train_loader), **ms_args)
+            # gradient accumulation: train_conf.accum_steps microbatches
+            # per optimizer update (effective batch = accum_steps x
+            # batch_size; useful where the per-chip batch is memory-bound
+            # — no reference analogue). The LR schedule paces on
+            # OPTIMIZER updates, so step_per_epoch shrinks accordingly.
+            accum = int(self.configs.train_conf.get("accum_steps", 1))
+            self.accum_steps = max(accum, 1)
+            steps_per_epoch = max(len(self.train_loader)
+                                  // self.accum_steps, 1)
             self.lr_schedule = build_lr_scheduler(
-                step_per_epoch=len(self.train_loader), configs=self.configs)
+                step_per_epoch=steps_per_epoch, configs=self.configs)
             self.optimizer = build_optimizer(self.lr_schedule, self.configs)
+            if self.accum_steps > 1:
+                self.optimizer = optax.MultiSteps(
+                    self.optimizer, every_k_schedule=self.accum_steps)
+                logger.info(f"gradient accumulation: {self.accum_steps} "
+                            f"microbatches per optimizer update")
 
             dataset_args = self.configs.dataset_conf.get("dataset", {})
             self.augmenter = DeviceAugmenter(
@@ -649,7 +664,8 @@ class Trainer:
                 eta = timedelta(seconds=int(self.train_eta_sec))
                 self.train_loss = float(metrics["loss"])
                 self.train_acc = float(metrics["acc"])
-                lr = float(self.lr_schedule(self.train_step_num))
+                lr = float(self.lr_schedule(self.train_step_num
+                                            // self.accum_steps))
                 margin_str = (f"margin: {self._margin():.5f}"
                               if self.margin_scheduler else "")
                 logger.info(
