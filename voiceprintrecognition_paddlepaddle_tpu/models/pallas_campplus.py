@@ -73,6 +73,11 @@ _VARIANT = os.environ.get("VPR_TRUNK_VARIANT", "auto")
 # rows-per-step ceiling for the unrolled variant (measured compile wall)
 _UNROLL_MAX_TPAD = 160
 
+# looped-variant layer-range size: each block's layers run as
+# ceil(n/_RANGE) fori_loops whose bodies compile with that range's static
+# group ceiling (see _kernel_looped)
+_RANGE = 8
+
 
 def _use_looped(t_pad):
     if _VARIANT == "looped":
@@ -460,10 +465,9 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
         c0 = plan["blocks"][b]["c_in"]
         g0 = c0 // 128
 
-        def layer_body(li, carry, dil=dil, l0=l0, c0=c0, g0=g0):
+        def layer_body(li, carry, dil=dil, l0=l0, c0=c0, g0=g0,
+                       ng_max=None):
             l = l0 + li
-            cin = c0 + li * growth
-            ng = (cin + 127) // 128
 
             # all per-layer loads use pl.ds dynamic-slice indexing
             # (scalar multi-dim dynamic ref indexing lowers to >2-D
@@ -483,8 +487,21 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
             if _ABLATE == "nolin1":
                 h1 = xcat_ref[0].astype(f32)
             else:
-                h1 = jax.lax.fori_loop(0, ng, grp_body,
-                                       jnp.zeros((rows, bn_ch), f32))
+                # STATIC unroll over the block's group ceiling: Mosaic
+                # pipelines straight-line matmuls far better than a
+                # dynamic-trip fori_loop. Measured at u=16, 3 s bucket:
+                # fori to ceil(cin/128) = 7.57 ms/call; lax.cond-guarded
+                # static unroll = 8.64 (branches stall the pipeline);
+                # UNCONDITIONAL static unroll = fastest despite the
+                # extra zero-masked FLOPs. Exactness: groups past
+                # ceil(cin/128) hold finite (zeroed or stale-but-finite)
+                # scratch, and w_lin1g is zero-padded beyond each
+                # layer's cin, so those groups contribute exactly 0 —
+                # the same masking the loop's own partial last group
+                # already relied on.
+                h1 = jnp.zeros((rows, bn_ch), f32)
+                for g in range(ng_max):
+                    h1 = grp_body(g, h1)
             h1 = h1 + row2(narrow_ref, l)
             x2 = jnp.maximum(h1 * row2(narrow_ref, L + l)
                              + row2(narrow_ref, 2 * L + l), 0.0)
@@ -528,7 +545,20 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                              k * growth:(k + 1) * growth] = out[None]
             return carry
 
-        jax.lax.fori_loop(0, n, layer_body, 0)
+        # the block's layers run as a few fori_loop RANGES, each with its
+        # own traced body whose static group ceiling covers only that
+        # range's deepest layer: later ranges do more group matmuls than
+        # early ones, so one blockwide ceiling wastes ~20% lin1 FLOPs on
+        # the early layers. _RANGE trades compiled-body count (compile
+        # time) against that waste; 8 keeps total body code at 7 layers'
+        # worth across the three blocks.
+        lo = 0
+        while lo < n:
+            hi = min(lo + _RANGE, n)
+            ng_max_r = (c0 + (hi - 1) * growth + 127) // 128
+            jax.lax.fori_loop(lo, hi, functools.partial(
+                layer_body, ng_max=ng_max_r), 0)
+            lo = hi
 
         # transit: BN+ReLU then 1x1 conv halving channels (static groups)
         cw = plan["blocks"][b]["c_out"]
