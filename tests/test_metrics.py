@@ -24,6 +24,18 @@ def test_eer_random_scores_near_half():
     assert abs(eer - 0.5) < 0.02
 
 
+def test_eer_degenerate_trials_raise_clear_error():
+    # a trials list with no target (same-speaker) pairs makes the
+    # FNR/FPR curves never cross; must be a ValueError, not IndexError
+    import pytest
+
+    scores = np.array([0.9, 0.1], dtype=np.float32)
+    labels = np.array([0, 0], dtype=np.int32)  # non-target only
+    fnr, fpr, _ = compute_fnr_fpr(scores, labels)
+    with pytest.raises(ValueError, match="target"):
+        compute_eer(fnr, fpr, scores)
+
+
 def test_dcf_bounds():
     rng = np.random.RandomState(1)
     tgt = rng.normal(1.0, 0.5, 5000)

@@ -42,8 +42,17 @@ def compute_eer(fnr, fpr, scores=None):
     returns the operating threshold at the crossing index.
     """
     diff = fnr - fpr
-    x1 = np.flatnonzero(diff >= 0)[0]
-    x2 = np.flatnonzero(diff < 0)[-1]
+    pos, neg = np.flatnonzero(diff >= 0), np.flatnonzero(diff < 0)
+    if pos.size == 0 or neg.size == 0:
+        # degenerate trial set: the FNR/FPR curves never cross, which
+        # happens when the trials contain no target (or no non-target)
+        # pairs, or all scores tie — EER is undefined there
+        raise ValueError(
+            "EER is undefined: FNR and FPR never cross. The trials list "
+            "must contain both target (same-speaker) and non-target "
+            "pairs with distinct scores.")
+    x1 = pos[0]
+    x2 = neg[-1]
     a = (fnr[x1] - fpr[x1]) / (fpr[x2] - fpr[x1] - (fnr[x2] - fnr[x1]))
     eer = fnr[x1] + a * (fnr[x2] - fnr[x1])
     if scores is not None:
