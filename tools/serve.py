@@ -106,9 +106,7 @@ def make_handler(predictor, batcher=None):
                                                   "file inside audio_db"})
                         return
                     f1, f2 = _embed_many([audio, other])
-                    score = float(np.dot(f1, f2)
-                                  / (np.linalg.norm(f1)
-                                     * np.linalg.norm(f2)))
+                    score = predictor.cosine_score(f1, f2)
                     self._send(200, {"score": score})
                 elif url.path == "/register":
                     if not _safe_user_name(q.get("name", "")):
@@ -118,12 +116,13 @@ def make_handler(predictor, batcher=None):
                         ok, msg = predictor.register(audio, q["name"])
                     self._send(200, {"success": bool(ok), "message": msg})
                 elif url.path == "/recognition":
+                    # per-request override; never mutates the shared
+                    # predictor (threshold=0.0 is a valid accept-best)
                     thr = float(q["threshold"]) if "threshold" in q else None
                     emb = _embed_many([audio])[0]
                     with _db_lock:
-                        if thr:
-                            predictor.threshold = thr
-                        name, score = predictor.retrieve(emb[None])[0]
+                        name, score = predictor.retrieve(
+                            emb[None], threshold=thr)[0]
                     self._send(200, {"name": name, "score": score})
                 elif url.path == "/diarization":
                     spk = int(q["speakers"]) if "speakers" in q else None

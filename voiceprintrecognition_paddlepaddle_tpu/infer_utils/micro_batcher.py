@@ -70,8 +70,10 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             try:
+                # batch_size must cover the aggregated window, else
+                # predict_batch's default (32) re-splits the device batch
                 embs = self.predictor.predict_batch(
-                    [s for s, _ in batch])
+                    [s for s, _ in batch], batch_size=self.max_batch)
                 self.batches += 1
                 self.items += len(batch)
                 for (_, fut), emb in zip(batch, embs):

@@ -7,7 +7,6 @@ stats pooling (mean ‖ unbiased std) and a dense embedding layer.
 Layouts: FCM runs NHWC (B, F, T, C); the x-vector trunk runs (B, T, C).
 """
 
-import math
 from typing import Any
 
 import flax.linen as nn

@@ -249,9 +249,17 @@ class Predictor:
     def normalize_features(features):
         return features / np.linalg.norm(features, axis=1, keepdims=True)
 
-    def __retrieval(self, np_feature):
+    @staticmethod
+    def cosine_score(f1, f2):
+        """Cosine similarity between two 1-D embeddings."""
+        return float(np.dot(f1, f2)
+                     / (np.linalg.norm(f1) * np.linalg.norm(f2)))
+
+    def __retrieval(self, np_feature, threshold=None):
         """Cosine retrieval against per-user mean voiceprints; one matmul
         (reference ``predict.py:173-187`` loops rows)."""
+        if threshold is None:
+            threshold = self.threshold
         feats = self.normalize_features(
             np.asarray(np_feature, np.float32))
         means = self.normalize_features(
@@ -261,17 +269,18 @@ class Predictor:
         for sim in similarities:
             idx = int(np.argmax(sim))
             score = float(sim[idx])
-            if score >= self.threshold:
+            if score >= threshold:
                 results.append([self.users_name_mean[idx], round(score, 5)])
             else:
                 results.append([None, None])
         return results
 
-    def retrieve(self, np_features):
+    def retrieve(self, np_features, threshold=None):
         """Public cosine retrieval: ``(N, D)`` embeddings -> list of
         ``[name, score]`` / ``[None, None]`` rows (serving front-ends
-        that embed through a batcher call this with ready features)."""
-        return self.__retrieval(np_features)
+        that embed through a batcher call this with ready features).
+        ``threshold`` overrides ``self.threshold`` for this call only."""
+        return self.__retrieval(np_features, threshold=threshold)
 
     def _load_audio(self, audio_data, sample_rate=16000):
         """Accepts path / file object / bytes / ndarray / AudioSegment
@@ -370,8 +379,7 @@ class Predictor:
         """1:1 cosine similarity (reference ``predict.py:271-283``)."""
         f1 = self.predict(audio_data1)
         f2 = self.predict(audio_data2)
-        return float(np.dot(f1, f2)
-                     / (np.linalg.norm(f1) * np.linalg.norm(f2)))
+        return self.cosine_score(f1, f2)
 
     def register(self, audio_data, user_name: str, sample_rate=16000):
         """Add a voiceprint: writes ``audio_db/<user>/N.wav``, updates the
