@@ -193,3 +193,33 @@ def test_batched_contrast_and_recognition(batched_server):
     with urllib.request.urlopen(f"{burl}/stats", timeout=30) as r:
         stats = json.loads(r.read())
     assert stats["items"] >= 1 and stats["batches"] >= 1
+
+
+def test_microbatcher_dispatches_one_device_batch_above_32(stack):
+    """A window larger than predict_batch's default batch_size (32) must
+    reach the predictor as ONE call covering the whole window."""
+    from voiceprintrecognition_paddlepaddle_tpu.infer_utils.micro_batcher \
+        import MicroBatcher
+
+    _, pred = stack
+    calls = []
+    real = pred.predict_batch
+
+    def spy(audios, **kw):
+        calls.append((len(audios), kw.get("batch_size")))
+        return real(audios, **kw)
+
+    pred.predict_batch = spy
+    try:
+        batcher = MicroBatcher(pred, window_ms=300.0, max_batch=40)
+        futs = [batcher.embed_async(
+            np.random.RandomState(i).randn(16000).astype(np.float32))
+            for i in range(36)]
+        embs = [f.result(timeout=120) for f in futs]
+    finally:
+        pred.predict_batch = real
+    assert all(e.shape[-1] > 0 for e in embs)
+    # every dispatched window declared a batch_size covering max_batch,
+    # so no window was silently re-split into 32-clip device batches
+    assert calls and all(bs == 40 for _, bs in calls)
+    assert max(n for n, _ in calls) > 32
