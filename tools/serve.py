@@ -126,8 +126,14 @@ def make_handler(predictor, batcher=None):
                     self._send(200, {"name": name, "score": score})
                 elif url.path == "/diarization":
                     spk = int(q["speakers"]) if "speakers" in q else None
-                    segs = predictor.speaker_diarization(audio,
-                                                         speaker_num=spk)
+                    search = q.get("search_db", "").lower() in (
+                        "1", "true", "yes")
+                    thr = (float(q["threshold"])
+                           if "threshold" in q else None)
+                    with _db_lock:
+                        segs = predictor.speaker_diarization(
+                            audio, speaker_num=spk, search_audio_db=search,
+                            threshold=thr)
                     self._send(200, {"segments": segs})
                 else:
                     self._send(404, {"error": "unknown endpoint"})

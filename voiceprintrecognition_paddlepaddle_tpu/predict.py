@@ -446,9 +446,11 @@ class Predictor:
         return True
 
     def speaker_diarization(self, audio_data, sample_rate=16000,
-                            speaker_num=None, search_audio_db=False):
+                            speaker_num=None, search_audio_db=False,
+                            threshold=None):
         """VAD → chunk → batched embed → cluster → postprocess
-        (reference ``predict.py:366-396``)."""
+        (reference ``predict.py:366-396``). ``threshold`` overrides
+        ``self.threshold`` for the audio-db speaker naming only."""
         seg = self._load_audio(audio_data, sample_rate)
         segments = self.speaker_diarize.segments_audio(seg)
         chunk_data = [s[2] for s in segments]
@@ -459,7 +461,7 @@ class Predictor:
         if search_audio_db:
             assert self.audio_feature is not None, \
                 "voiceprint database is empty; register speakers first"
-            names = self.__retrieval(centers)
+            names = self.__retrieval(centers, threshold=threshold)
             outputs = [{
                 "speaker": (names[o["speaker"]][0]
                             or f"stranger{o['speaker']}"),
