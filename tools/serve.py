@@ -7,7 +7,8 @@ Endpoints (JSON responses; audio is raw WAV bytes in the request body):
     POST /register?name=<user>      -> {"success": true}
     POST /recognition[?threshold=t] -> {"name": ..., "score": ...}
     GET  /users                     -> {"users": [...]}
-    POST /diarization[?speakers=n]  -> {"segments": [...]}
+    POST /diarization[?speakers=n&search_db=1&threshold=t]
+                                    -> {"segments": [...]}
 
 stdlib-only (ThreadingHTTPServer); the Predictor's jitted embed calls are
 thread-safe (pure functions + GIL around the db mutations). For higher
