@@ -223,3 +223,25 @@ def test_microbatcher_dispatches_one_device_batch_above_32(stack):
     # so no window was silently re-split into 32-clip device batches
     assert calls and all(bs == 40 for _, bs in calls)
     assert max(n for n, _ in calls) > 32
+
+
+def test_recognition_threshold_is_per_request(server, stack):
+    """A threshold query param must not leak into the shared predictor,
+    and threshold=0 (accept best match) must be honored."""
+    _, pred = stack
+    body = _wav_bytes(130, seed=5)
+    _post(f"{server}/register?name=dana", body)
+    before = pred.threshold
+
+    # impossible threshold for THIS request only -> no match
+    out = _post(f"{server}/recognition?threshold=1.01", body)
+    assert out["name"] is None
+    assert pred.threshold == before  # no leak into the shared predictor
+
+    # un-parameterized request still matches at the configured threshold
+    out = _post(f"{server}/recognition", body)
+    assert out["name"] == "dana"
+
+    # threshold=0 is a valid accept-best, not a dropped falsy value
+    out = _post(f"{server}/recognition?threshold=0", _wav_bytes(500, seed=9))
+    assert out["name"] is not None
