@@ -8,6 +8,7 @@ without process-spawn overhead; the heavy DSP all happens on device anyway
 without changing this interface.
 """
 
+import os
 import queue
 import threading
 
@@ -22,6 +23,11 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.num_workers = max(1, int(num_workers))
         self.prefetch = prefetch
+        # each worker may drive the C++ batch loader's own thread pool;
+        # split the host cores across workers so concurrent batches do
+        # not oversubscribe the CPU num_workers-fold
+        self._native_threads = max(
+            1, (os.cpu_count() or 1) // self.num_workers)
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -46,7 +52,8 @@ class DataLoader:
                 try:
                     # batch-level native fast path (GIL-free C++ thread
                     # pool) when the dataset provides one
-                    items = (self.dataset.load_batch(indices)
+                    items = (self.dataset.load_batch(
+                                 indices, n_threads=self._native_threads)
                              if hasattr(self.dataset, "load_batch")
                              else None)
                     if items is None:

@@ -120,15 +120,8 @@ class SpeakerDataset:
             num, den = 1, 1
             sa = self.speed_augment
             if sa is not None:
-                if self._rng.random() < sa.prob:
-                    si = self._rng.randint(0, 2)
-                    speed = sa.SPEEDS[si]
-                    if speed == 0.9:
-                        num, den = 9, 10
-                    elif speed == 1.1:
-                        num, den = 11, 10
-                    if sa.speed_perturb_3_class:
-                        spk_id = spk_id * 3 + si
+                # one source of truth for the prob/speed/label policy
+                num, den, spk_id = sa.sample(spk_id, self._rng)
             paths.append(path)
             labels.append(spk_id)
             speeds.append((num, den))

@@ -4,11 +4,12 @@
 // resample (SURVEY.md §2, reference requirements.txt). This library is the
 // C++ equivalent for the host side of the TPU pipeline: RIFF/WAVE decode
 // (PCM 8/16/24/32, IEEE float32/64, any channel count -> mono float32),
-// a windowed-sinc polyphase resampler, and RMS gain — the per-sample work
+// a windowed-sinc polyphase resampler, and RMS — the per-sample work
 // the CPU does while the TPU runs the jitted step. Exposed as a C ABI for
 // ctypes (no pybind11 in this image).
 //
-// Build: g++ -O3 -march=native -shared -fPIC audioio.cpp -o libaudioio.so
+// Build flags live in audio_native._build() and the Makefile (kept
+// identical so both artifacts behave the same).
 
 #include <cmath>
 #include <cstdint>
@@ -19,6 +20,100 @@
 #include <fstream>
 #include <thread>
 #include <vector>
+
+// ---------------------------------------------------------------------
+// polyphase windowed-sinc resampler (Kaiser window) — internal core
+// ---------------------------------------------------------------------
+static double bessel_i0(double x) {
+    // series expansion, converges fast for the beta range used here
+    double sum = 1.0, term = 1.0;
+    const double x2 = x * x / 4.0;
+    for (int k = 1; k < 64; ++k) {
+        term *= x2 / (k * (double)k);
+        sum += term;
+        if (term < 1e-16 * sum) break;
+    }
+    return sum;
+}
+
+static int64_t gcd64(int64_t a, int64_t b) {
+    while (b) { int64_t t = a % b; a = b; b = t; }
+    return a;
+}
+
+// Kaiser-windowed sinc bank for a gcd-reduced up/down ratio: up phases of
+// 2*half_taps taps, each phase normalised to sum 1 (unity passband gain).
+// Output sample j sits at input time T = j*down/up = i_center + phase/up:
+//   y[j] = sum_t  f(phase/up + half-1-t) * in[i_center - half+1 + t]
+// with f cut off at the narrower Nyquist.
+static void design_kaiser(int64_t up, int64_t down, int half_taps,
+                          std::vector<float>& filt) {
+    const double cutoff = 0.5 * std::min<double>(1.0, (double)up / down);
+    const double beta = 8.6;  // ~ resampy/scipy "kaiser_best" quality class
+    const int64_t taps_per_phase = 2 * half_taps;
+    filt.resize((size_t)(up * taps_per_phase));
+    const double i0b = bessel_i0(beta);
+    for (int64_t p = 0; p < up; ++p) {
+        double sum = 0.0;
+        for (int64_t t = 0; t < taps_per_phase; ++t) {
+            const double x = (double)p / up + (half_taps - 1 - t);
+            const double sinc = (x == 0.0)
+                ? 2.0 * cutoff
+                : std::sin(2.0 * M_PI * cutoff * x) / (M_PI * x);
+            const double w_arg = x / half_taps;
+            double w = 0.0;
+            if (std::fabs(w_arg) <= 1.0)
+                w = bessel_i0(beta * std::sqrt(1.0 - w_arg * w_arg)) / i0b;
+            filt[(size_t)(p * taps_per_phase + t)] = (float)(sinc * w);
+            sum += sinc * w;
+        }
+        if (sum != 0.0) {
+            const float inv = (float)(1.0 / sum);
+            for (int64_t t = 0; t < taps_per_phase; ++t)
+                filt[(size_t)(p * taps_per_phase + t)] *= inv;
+        }
+    }
+}
+
+// Polyphase convolution against a pre-designed bank (gcd-reduced ratio);
+// interior samples skip the bounds check so -O3 can vectorise the tap loop.
+static void convolve_polyphase(const float* in, int64_t n, int64_t up,
+                               int64_t down, int half_taps,
+                               const std::vector<float>& filt,
+                               std::vector<float>& res) {
+    const int64_t taps_per_phase = 2 * half_taps;
+    const int64_t m = (n * up) / down;
+    res.resize((size_t)(m > 0 ? m : 0));
+    for (int64_t j = 0; j < m; ++j) {
+        const int64_t num = j * down;
+        const int64_t i_center = num / up;
+        const int64_t phase = num % up;
+        const float* h = &filt[(size_t)(phase * taps_per_phase)];
+        const int64_t base = i_center - half_taps + 1;
+        float acc = 0.0f;
+        if (base >= 0 && base + taps_per_phase <= n) {
+            const float* s = in + base;
+            for (int64_t t = 0; t < taps_per_phase; ++t) acc += h[t] * s[t];
+        } else {
+            for (int64_t t = 0; t < taps_per_phase; ++t) {
+                const int64_t idx = base + t;
+                if (idx >= 0 && idx < n) acc += h[t] * in[idx];
+            }
+        }
+        res[(size_t)j] = acc;
+    }
+}
+
+static void resample_core(const float* in, int64_t n, int64_t up,
+                          int64_t down, int half_taps,
+                          std::vector<float>& res) {
+    const int64_t g0 = gcd64(up, down);
+    up /= g0;
+    down /= g0;
+    std::vector<float> filt;
+    design_kaiser(up, down, half_taps, filt);
+    convolve_polyphase(in, n, up, down, half_taps, filt, res);
+}
 
 extern "C" {
 
@@ -58,7 +153,8 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
         const uint8_t* cid = data + pos;
         uint32_t csize = rd_u32(data + pos + 4);
         const uint8_t* cbody = data + pos + 8;
-        if ((int64_t)(pos + 8 + csize) > size) csize = (uint32_t)(size - pos - 8);
+        if ((int64_t)(pos + 8 + (int64_t)csize) > size)
+            csize = (uint32_t)(size - pos - 8);
         if (std::memcmp(cid, "fmt ", 4) == 0 && csize >= 16) {
             fmt_code = rd_u16(cbody);
             channels = rd_u16(cbody + 2);
@@ -70,7 +166,9 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
             body = cbody;
             body_size = csize;
         }
-        pos += 8 + csize + (csize & 1);
+        // int64 advance: a bogus csize near UINT32_MAX must not wrap the
+        // 32-bit sum and crawl the file 8 bytes at a time
+        pos += 8 + (int64_t)csize + (int64_t)(csize & 1);
     }
     if (!body || channels == 0 || rate == 0) return 2;
 
@@ -81,6 +179,7 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
     if (fmt_code == 1 && bits == 16) {
         frames = body_size / (2 * channels);
         mono = (float*)std::malloc(sizeof(float) * frames);
+        if (!mono) return 4;
         const int16_t* s = (const int16_t*)body;
         for (int64_t i = 0; i < frames; ++i) {
             double acc = 0;
@@ -90,6 +189,7 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
     } else if (fmt_code == 1 && bits == 32) {
         frames = body_size / (4 * channels);
         mono = (float*)std::malloc(sizeof(float) * frames);
+        if (!mono) return 4;
         const int32_t* s = (const int32_t*)body;
         for (int64_t i = 0; i < frames; ++i) {
             double acc = 0;
@@ -99,6 +199,7 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
     } else if (fmt_code == 1 && bits == 24) {
         frames = body_size / (3 * channels);
         mono = (float*)std::malloc(sizeof(float) * frames);
+        if (!mono) return 4;
         for (int64_t i = 0; i < frames; ++i) {
             double acc = 0;
             for (int c = 0; c < channels; ++c) {
@@ -113,6 +214,7 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
     } else if (fmt_code == 1 && bits == 8) {
         frames = body_size / channels;
         mono = (float*)std::malloc(sizeof(float) * frames);
+        if (!mono) return 4;
         for (int64_t i = 0; i < frames; ++i) {
             double acc = 0;
             for (int c = 0; c < channels; ++c)
@@ -122,6 +224,7 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
     } else if (fmt_code == 3 && bits == 32) {
         frames = body_size / (4 * channels);
         mono = (float*)std::malloc(sizeof(float) * frames);
+        if (!mono) return 4;
         const float* s = (const float*)body;
         for (int64_t i = 0; i < frames; ++i) {
             double acc = 0;
@@ -131,6 +234,7 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
     } else if (fmt_code == 3 && bits == 64) {
         frames = body_size / (8 * channels);
         mono = (float*)std::malloc(sizeof(float) * frames);
+        if (!mono) return 4;
         const double* s = (const double*)body;
         for (int64_t i = 0; i < frames; ++i) {
             double acc = 0;
@@ -147,26 +251,6 @@ int vpr_decode_wav(const uint8_t* data, int64_t size, float** out,
     return 0;
 }
 
-// ---------------------------------------------------------------------
-// polyphase windowed-sinc resampler (Kaiser window)
-// ---------------------------------------------------------------------
-static double bessel_i0(double x) {
-    // series expansion, converges fast for the beta range used here
-    double sum = 1.0, term = 1.0;
-    const double x2 = x * x / 4.0;
-    for (int k = 1; k < 64; ++k) {
-        term *= x2 / (k * (double)k);
-        sum += term;
-        if (term < 1e-16 * sum) break;
-    }
-    return sum;
-}
-
-static int64_t gcd64(int64_t a, int64_t b) {
-    while (b) { int64_t t = a % b; a = b; b = t; }
-    return a;
-}
-
 // Resample n samples from sr_in to sr_out. *out malloc'd, length *n_out.
 int vpr_resample(const float* in, int64_t n, int32_t sr_in, int32_t sr_out,
                  float** out, int64_t* n_out) {
@@ -175,61 +259,22 @@ int vpr_resample(const float* in, int64_t n, int32_t sr_in, int32_t sr_out,
     if (n <= 0 || sr_in <= 0 || sr_out <= 0) return 1;
     if (sr_in == sr_out) {
         *out = (float*)std::malloc(sizeof(float) * n);
+        if (!*out) return 4;
         std::memcpy(*out, in, sizeof(float) * n);
         *n_out = n;
         return 0;
     }
-    const int64_t g = gcd64(sr_in, sr_out);
-    const int64_t up = sr_out / g, down = sr_in / g;
-
-    // Windowed-sinc interpolation evaluated directly: output sample j sits
-    // at input time T = j*down/up = i_center + phase/up, and
-    //   y[j] = sum_t  f(phase/up + half-1-t) * in[i_center - half+1 + t]
-    // where f is the Kaiser-windowed sinc (cutoff at the narrower Nyquist).
-    // Each phase's taps are normalised to sum 1 (unity passband gain).
-    const int half_taps = 16;
-    const double cutoff = 0.5 * std::min<double>(1.0, (double)up / down);
-    const double beta = 8.6;  // ~ resampy/scipy "kaiser_best" quality class
-    const int64_t taps_per_phase = 2 * half_taps;
-    std::vector<float> filt((size_t)(up * taps_per_phase));
-    const double i0b = bessel_i0(beta);
-    for (int64_t p = 0; p < up; ++p) {
-        double sum = 0.0;
-        for (int64_t t = 0; t < taps_per_phase; ++t) {
-            const double x = (double)p / up + (half_taps - 1 - t);
-            const double sinc = (x == 0.0)
-                ? 2.0 * cutoff
-                : std::sin(2.0 * M_PI * cutoff * x) / (M_PI * x);
-            const double w_arg = x / half_taps;
-            double w = 0.0;
-            if (std::fabs(w_arg) <= 1.0)
-                w = bessel_i0(beta * std::sqrt(1.0 - w_arg * w_arg)) / i0b;
-            filt[(size_t)(p * taps_per_phase + t)] = (float)(sinc * w);
-            sum += sinc * w;
-        }
-        if (sum != 0.0) {
-            const float inv = (float)(1.0 / sum);
-            for (int64_t t = 0; t < taps_per_phase; ++t)
-                filt[(size_t)(p * taps_per_phase + t)] *= inv;
-        }
+    std::vector<float> res;
+    try {
+        resample_core(in, n, sr_out, sr_in, 16, res);
+    } catch (...) {
+        return 4;
     }
-
-    const int64_t m = (n * up) / down;  // output length (floor)
-    float* res = (float*)std::malloc(sizeof(float) * (m > 0 ? m : 1));
-    for (int64_t j = 0; j < m; ++j) {
-        const int64_t num = j * down;
-        const int64_t i_center = num / up;
-        const int64_t phase = num % up;
-        const float* h = &filt[(size_t)(phase * taps_per_phase)];
-        double acc = 0.0;
-        const int64_t base = i_center - half_taps + 1;
-        for (int64_t t = 0; t < taps_per_phase; ++t) {
-            const int64_t idx = base + t;
-            if (idx >= 0 && idx < n) acc += (double)h[t] * in[idx];
-        }
-        res[j] = (float)acc;
-    }
-    *out = res;
+    const int64_t m = (int64_t)res.size();
+    float* buf = (float*)std::malloc(sizeof(float) * (m > 0 ? m : 1));
+    if (!buf) return 4;
+    if (m > 0) std::memcpy(buf, res.data(), sizeof(float) * m);
+    *out = buf;
     *n_out = m;
     return 0;
 }
@@ -241,61 +286,6 @@ int vpr_resample(const float* in, int64_t n, int32_t sr_in, int32_t sr_out,
 // (reference ppvector/trainer.py:108-111). One call per batch; failures
 // are signalled per item (valid[i] < 0) for a Python fallback.
 // ---------------------------------------------------------------------
-
-// Kaiser-windowed-sinc polyphase core shared with vpr_resample; interior
-// samples skip the bounds check so -O3 can vectorise the tap loop.
-static void resample_core(const float* in, int64_t n, int64_t up,
-                          int64_t down, int half_taps,
-                          std::vector<float>& res) {
-    const int64_t g0 = gcd64(up, down);
-    up /= g0;
-    down /= g0;
-    const double cutoff = 0.5 * std::min<double>(1.0, (double)up / down);
-    const double beta = 8.6;
-    const int64_t taps_per_phase = 2 * half_taps;
-    std::vector<float> filt((size_t)(up * taps_per_phase));
-    const double i0b = bessel_i0(beta);
-    for (int64_t p = 0; p < up; ++p) {
-        double sum = 0.0;
-        for (int64_t t = 0; t < taps_per_phase; ++t) {
-            const double x = (double)p / up + (half_taps - 1 - t);
-            const double sinc = (x == 0.0)
-                ? 2.0 * cutoff
-                : std::sin(2.0 * M_PI * cutoff * x) / (M_PI * x);
-            const double w_arg = x / half_taps;
-            double w = 0.0;
-            if (std::fabs(w_arg) <= 1.0)
-                w = bessel_i0(beta * std::sqrt(1.0 - w_arg * w_arg)) / i0b;
-            filt[(size_t)(p * taps_per_phase + t)] = (float)(sinc * w);
-            sum += sinc * w;
-        }
-        if (sum != 0.0) {
-            const float inv = (float)(1.0 / sum);
-            for (int64_t t = 0; t < taps_per_phase; ++t)
-                filt[(size_t)(p * taps_per_phase + t)] *= inv;
-        }
-    }
-    const int64_t m = (n * up) / down;
-    res.resize((size_t)(m > 0 ? m : 0));
-    for (int64_t j = 0; j < m; ++j) {
-        const int64_t num = j * down;
-        const int64_t i_center = num / up;
-        const int64_t phase = num % up;
-        const float* h = &filt[(size_t)(phase * taps_per_phase)];
-        const int64_t base = i_center - half_taps + 1;
-        float acc = 0.0f;
-        if (base >= 0 && base + taps_per_phase <= n) {
-            const float* s = in + base;
-            for (int64_t t = 0; t < taps_per_phase; ++t) acc += h[t] * s[t];
-        } else {
-            for (int64_t t = 0; t < taps_per_phase; ++t) {
-                const int64_t idx = base + t;
-                if (idx >= 0 && idx < n) acc += h[t] * in[idx];
-            }
-        }
-        res[(size_t)j] = acc;
-    }
-}
 
 // speed[i] as a num/den fraction (0.9 = 9/10, 1.0 = 1/1, 1.1 = 11/10);
 // crop_frac in [0, 1) picks the crop window start. Output row i: int16
@@ -311,6 +301,11 @@ int vpr_load_batch(const char* const* paths, int32_t n_items,
     auto work = [&]() {
         std::vector<uint8_t> buf;
         std::vector<float> res;
+        // per-thread filter cache: a batch sees at most a few distinct
+        // (up, down) ratios (speed 0.9/1.0/1.1 x source rates), and a
+        // bank costs ~tens of thousands of bessel_i0 evaluations
+        struct Bank { int64_t up, down; std::vector<float> filt; };
+        std::vector<Bank> banks;
         for (;;) {
             const int32_t i = next.fetch_add(1);
             if (i >= n_items) return;
@@ -319,49 +314,69 @@ int vpr_load_batch(const char* const* paths, int32_t n_items,
             int16_t* dst = out + (int64_t)i * target_len;
             std::memset(dst, 0, sizeof(int16_t) * target_len);
 
-            std::ifstream f(paths[i], std::ios::binary | std::ios::ate);
-            if (!f) continue;
-            const std::streamsize sz = f.tellg();
-            if (sz <= 0) continue;
-            buf.resize((size_t)sz);
-            f.seekg(0);
-            if (!f.read((char*)buf.data(), sz)) continue;
-
             float* dec = nullptr;
-            int64_t nd = 0;
-            int32_t sr = 0;
-            if (vpr_decode_wav(buf.data(), sz, &dec, &nd, &sr) != 0 ||
-                nd <= 0 || sr <= 0) {
-                if (dec) std::free(dec);
-                continue;
-            }
-            duration_s[i] = (double)nd / sr;
+            // any failure (I/O, allocation, corrupt size fields) must
+            // mark the item for the Python per-item fallback — an
+            // uncaught exception in a std::thread is std::terminate
+            try {
+                std::ifstream f(paths[i],
+                                std::ios::binary | std::ios::ate);
+                if (!f) continue;
+                const std::streamsize sz = f.tellg();
+                if (sz <= 0) continue;
+                buf.resize((size_t)sz);
+                f.seekg(0);
+                if (!f.read((char*)buf.data(), sz)) continue;
 
-            const int64_t up = (int64_t)target_sr * speed_den[i];
-            const int64_t down = (int64_t)sr * speed_num[i];
-            const float* src = dec;
-            int64_t ns = nd;
-            if (up != down) {
-                resample_core(dec, nd, up, down, 16, res);
-                src = res.data();
-                ns = (int64_t)res.size();
-            }
+                int64_t nd = 0;
+                int32_t sr = 0;
+                if (vpr_decode_wav(buf.data(), sz, &dec, &nd, &sr) != 0 ||
+                    nd <= 0 || sr <= 0) {
+                    if (dec) { std::free(dec); dec = nullptr; }
+                    continue;
+                }
+                duration_s[i] = (double)nd / sr;
 
-            int64_t start = 0;
-            if (ns > target_len) {
-                start = (int64_t)((double)crop_frac[i]
-                                  * (double)(ns - target_len + 1));
-                if (start > ns - target_len) start = ns - target_len;
-                if (start < 0) start = 0;
+                int64_t up = (int64_t)target_sr * speed_den[i];
+                int64_t down = (int64_t)sr * speed_num[i];
+                const float* src = dec;
+                int64_t ns = nd;
+                if (up != down) {
+                    const int64_t g0 = gcd64(up, down);
+                    up /= g0;
+                    down /= g0;
+                    Bank* bank = nullptr;
+                    for (auto& b : banks)
+                        if (b.up == up && b.down == down) { bank = &b; break; }
+                    if (!bank) {
+                        banks.push_back({up, down, {}});
+                        bank = &banks.back();
+                        design_kaiser(up, down, 16, bank->filt);
+                    }
+                    convolve_polyphase(dec, nd, up, down, 16, bank->filt,
+                                       res);
+                    src = res.data();
+                    ns = (int64_t)res.size();
+                }
+
+                int64_t start = 0;
+                if (ns > target_len) {
+                    start = (int64_t)((double)crop_frac[i]
+                                      * (double)(ns - target_len + 1));
+                    if (start > ns - target_len) start = ns - target_len;
+                    if (start < 0) start = 0;
+                }
+                const int64_t v = std::min<int64_t>(ns, target_len);
+                for (int64_t t = 0; t < v; ++t) {
+                    float x = src[start + t];
+                    x = x < -1.0f ? -1.0f : (x > 1.0f ? 1.0f : x);
+                    dst[t] = (int16_t)(x * 32767.0f);  // trunc matches numpy
+                }
+                valid[i] = v;
+            } catch (...) {
+                valid[i] = -1;
             }
-            const int64_t v = std::min<int64_t>(ns, target_len);
-            for (int64_t t = 0; t < v; ++t) {
-                float x = src[start + t];
-                x = x < -1.0f ? -1.0f : (x > 1.0f ? 1.0f : x);
-                dst[t] = (int16_t)(x * 32767.0f);  // trunc matches numpy
-            }
-            valid[i] = v;
-            std::free(dec);
+            if (dec) std::free(dec);
         }
     };
     if (n_threads < 1) n_threads = 1;
@@ -374,7 +389,7 @@ int vpr_load_batch(const char* const* paths, int32_t n_items,
 }
 
 // ---------------------------------------------------------------------
-// gain / RMS utilities for dB-normalisation on the host path
+// RMS utility for dB-normalisation on the host path
 // ---------------------------------------------------------------------
 double vpr_rms_db(const float* in, int64_t n) {
     if (n <= 0) return -100.0;
@@ -383,11 +398,6 @@ double vpr_rms_db(const float* in, int64_t n) {
     const double mean_sq = acc / n;
     if (mean_sq <= 1e-30) return -100.0;
     return 10.0 * std::log10(mean_sq);
-}
-
-void vpr_apply_gain_db(float* buf, int64_t n, double gain_db) {
-    const float g = (float)std::pow(10.0, gain_db / 20.0);
-    for (int64_t i = 0; i < n; ++i) buf[i] *= g;
 }
 
 }  // extern "C"

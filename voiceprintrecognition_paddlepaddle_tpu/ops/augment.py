@@ -76,15 +76,28 @@ class SpeedPerturbAugmentor:
             out = np.pad(out, (0, new_len - len(out)))
         return out[:new_len].astype(np.float32)
 
-    def __call__(self, samples, spk_id, rng: random.Random = random):
+    def sample(self, spk_id, rng: random.Random = random):
+        """Draw the per-item policy once: ``(num, den, spk_id)`` where
+        the item's playback speed is ``num/den`` ((9, 10) = 0.9x) and
+        spk_id is expanded for 3-class perturbation. The single source
+        of truth for the prob/speed/label policy — used by both
+        ``__call__`` (per-item path) and the C++ batch loader
+        (``reader.load_batch``), which must never diverge."""
         if rng.random() >= self.prob:
-            return samples, spk_id
+            return 1, 1, spk_id
         idx = rng.randint(0, 2)
         speed = self.SPEEDS[idx]
-        if speed != 1.0:
-            samples = self.resample(samples, speed)
         if self.speed_perturb_3_class:
             spk_id = spk_id * 3 + idx
+        if speed == 1.0:
+            return 1, 1, spk_id
+        up, down = self._RATIOS[speed]
+        return down, up, spk_id
+
+    def __call__(self, samples, spk_id, rng: random.Random = random):
+        num, den, spk_id = self.sample(spk_id, rng)
+        if num != den:
+            samples = self.resample(samples, num / den)
         return samples, spk_id
 
 
