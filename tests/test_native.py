@@ -200,3 +200,40 @@ def test_dataset_load_batch_matches_getitem(tmp_path):
         if len(w_p) >= v_p and v_p <= 2 * sr and i < 2:
             assert np.abs(w_n[:v_n].astype(np.int32)
                           - q[:v_n].astype(np.int32)).max() <= 1
+
+
+def test_load_batch_native_bad_items_flag_not_crash(tmp_path):
+    """Unreadable items — missing file, truncated header, garbage bytes,
+    corrupt chunk-size field — must come back valid=-1 for the Python
+    fallback while healthy neighbours still load."""
+    import wave as wave_mod
+    from voiceprintrecognition_paddlepaddle_tpu.native import \
+        load_batch_native
+
+    sr = 16000
+    sig = np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)
+    good = tmp_path / "good.wav"
+    with wave_mod.open(str(good), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((sig * 32767).astype("<i2").tobytes())
+
+    truncated = tmp_path / "trunc.wav"
+    truncated.write_bytes(good.read_bytes()[:30])
+    garbage = tmp_path / "garbage.wav"
+    garbage.write_bytes(b"\x00" * 4096)
+    # valid RIFF framing, but the data chunk claims UINT32_MAX bytes
+    evil = tmp_path / "evil.wav"
+    body = good.read_bytes()
+    evil.write_bytes(body[:40] + b"\xff\xff\xff\xff" + body[44:])
+
+    paths = [str(good), str(tmp_path / "missing.wav"), str(truncated),
+             str(garbage), str(evil), str(good)]
+    out, valid, dur = load_batch_native(paths, sr, sr)
+    assert valid[0] == sr and valid[5] == sr   # healthy items unaffected
+    assert valid[1] < 0 and valid[2] < 0 and valid[3] < 0
+    # the evil file's clamped data chunk still decodes (clamp to EOF)
+    # or is rejected — either way no crash and no garbage length
+    assert valid[4] <= sr
+    assert np.abs(out[1]).max() == 0
