@@ -47,6 +47,20 @@ def test_save_resume_roundtrip(tmp_path):
     assert int(state.step) == 7
 
 
+def test_mid_epoch_save_replays_partial_epoch(tmp_path):
+    """Mid-epoch (10000-batch) saves record completed_epoch = epoch-1 so
+    a crash-resume replays the interrupted epoch instead of skipping its
+    remaining batches."""
+    save = str(tmp_path)
+    save_checkpoint(CFG, _state(1.0), save, epoch_id=3, margin=0.1,
+                    completed_epoch=2)
+    _, last_epoch, _ = load_checkpoint(CFG, _state(0.0), save)
+    assert last_epoch == 2  # resume re-enters epoch 3
+    with open(os.path.join(save, "TDNN_Fbank", "epoch_3",
+                           "model.state")) as f:
+        assert json.load(f)["last_epoch"] == 2
+
+
 def test_resume_restores_best_eer_not_last(tmp_path):
     """best_eer after resume must be the best seen (from best_model), and a
     perfect EER of 0.0 must not be discarded as falsy."""

@@ -169,6 +169,24 @@ def test_batch_sampler_sharding(listfile):
     assert sorted(all_idx) == list(range(6))  # disjoint cover
 
 
+def test_batch_sampler_eval_covers_uneven_shards():
+    """drop_last=False (eval) must yield every item even when n does not
+    divide by num_replicas — a floored length silently dropped the
+    trailing utterances of low ranks, corrupting multi-process EER."""
+    class Dummy:
+        def __len__(self):
+            return 13
+
+    all_idx = []
+    for rank in range(3):
+        s = BatchSampler(Dummy(), batch_size=4, shuffle=False,
+                         drop_last=False, num_replicas=3, rank=rank)
+        got = [j for b in s for j in b]
+        assert len(got) == (13 // 3 + (1 if rank < 13 % 3 else 0))
+        all_idx.extend(got)
+    assert sorted(all_idx) == list(range(13))  # complete disjoint cover
+
+
 def test_threaded_loader_order_and_content(listfile):
     ds = SpeakerDataset(listfile, max_duration=1.0, mode="train", seed=0)
     sampler = BatchSampler(ds, batch_size=2, shuffle=False, drop_last=False)

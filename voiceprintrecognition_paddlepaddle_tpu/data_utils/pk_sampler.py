@@ -98,8 +98,17 @@ class BatchSampler:
     def __len__(self):
         per_rank = self.n // self.num_replicas
         if self.drop_last:
+            # training: every rank must step the same number of times
+            # (the train step is collective), so floor to the common size
             return per_rank // self.batch_size
-        return (per_rank + self.batch_size - 1) // self.batch_size
+        # eval (drop_last=False): idx[rank::num_replicas] gives low ranks
+        # ceil(n/world) items — cover the WHOLE shard, else the trailing
+        # utterances are silently never embedded and EER is computed over
+        # an incomplete trial set (shard sizes may differ by one batch;
+        # allgather_ragged handles the unevenness)
+        mine = per_rank + (1 if self.rank < self.n % self.num_replicas
+                           else 0)
+        return (mine + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
         idx = np.arange(self.n)

@@ -59,11 +59,17 @@ def build_optimizer(learning_rate, configs):
     mu_dtype = args.pop("mu_dtype", None)
 
     chain = []
-    if use_optimizer in ("Adam", "AdamMax"):
+    if use_optimizer == "Adam":
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))  # coupled L2
         chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps,
                                          mu_dtype=mu_dtype))
+    elif use_optimizer == "AdamMax":
+        # infinity-norm second moment (paddle.optimizer.Adamax parity) —
+        # NOT plain Adam
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))  # coupled L2
+        chain.append(optax.scale_by_adamax(b1=b1, b2=b2, eps=eps))
     elif use_optimizer == "AdamW":
         chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps,
                                          mu_dtype=mu_dtype))
@@ -79,6 +85,11 @@ def build_optimizer(learning_rate, configs):
     else:
         raise ValueError(f"unknown optimizer: {use_optimizer}")
     chain.append(optax.scale_by_learning_rate(learning_rate))
+    if args:
+        # a typo'd key (e.g. beta_1, weight_dacay) would otherwise train
+        # silently with defaults
+        logger.warning(f"unrecognised optimizer_args ignored: "
+                       f"{sorted(args)}")
     logger.info(f"created optimizer: {use_optimizer}, "
-                f"weight_decay: {weight_decay}, args: {args}")
+                f"weight_decay: {weight_decay}")
     return optax.chain(*chain)

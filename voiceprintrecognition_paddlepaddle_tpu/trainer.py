@@ -206,7 +206,7 @@ class Trainer:
         n_dev = min(jax.device_count(),
                     int(self.configs.train_conf.get("num_devices", 0))
                     or jax.device_count())
-        if is_train:
+        if is_train and jax.process_count() == 1:
             bs = int(self.configs.dataset_conf.sampler.batch_size)
             while bs % n_dev:
                 n_dev -= 1
@@ -215,6 +215,17 @@ class Trainer:
                     f"batch_size {bs} not divisible by "
                     f"{jax.device_count()} devices; using a {n_dev}-device "
                     f"data-parallel mesh")
+        elif is_train:
+            # multi-host: the global batch is per-process bs x process
+            # count over ALL devices, so the requirement is local — the
+            # per-process batch must divide over this host's devices
+            bs = int(self.configs.dataset_conf.sampler.batch_size)
+            local = jax.local_device_count()
+            if bs % local:
+                raise ValueError(
+                    f"per-process batch_size {bs} is not divisible by the "
+                    f"{local} local devices; shard_batch cannot lay the "
+                    f"global batch out evenly — use a multiple of {local}")
         if n_dev != jax.device_count() and jax.process_count() > 1:
             # slicing the global device list would exclude whole hosts,
             # leaving their processes with no addressable device in the
@@ -448,8 +459,12 @@ class Trainer:
             if self._fast_eval_fn is None:
                 self._fast_eval_fn = make_campplus_eval_embed_fn(
                     self.model, self.audio_featurizer)
-            packed = jax.jit(
-                lambda v: default_pack(v, trunk_plan()))(variables)
+            # cache the jitted packer: a fresh jit(lambda) per call
+            # would retrace/recompile the weight pack on every eval
+            if getattr(self, "_fast_eval_pack", None) is None:
+                self._fast_eval_pack = jax.jit(
+                    lambda v: default_pack(v, trunk_plan()))
+            packed = self._fast_eval_pack(variables)
             fn = self._fast_eval_fn
             return lambda waves, ratios: fn(variables, packed, waves,
                                             ratios)
@@ -547,12 +562,22 @@ class Trainer:
             # allgather): every rank participates; logging/checkpoints
             # below stay rank-0-gated
             world = jax.process_count()
+            eval_ok = False
             if do_eval and not self.stop_eval and (rank == 0 or world > 1):
                 if rank == 0:
                     logger.info("=" * 70)
-                self.eval_eer, self.eval_min_dcf, self.eval_threshold = \
-                    self.evaluate()
-            if rank == 0 and do_eval and not self.stop_eval:
+                try:
+                    (self.eval_eer, self.eval_min_dcf,
+                     self.eval_threshold) = self.evaluate()
+                    eval_ok = True
+                except Exception:
+                    # a broken eval config (e.g. missing trials list) must
+                    # not discard the epoch's training — log loudly, skip
+                    # the metrics, and still write the epoch checkpoint
+                    logger.exception(
+                        "per-epoch evaluation failed; the epoch checkpoint "
+                        "is still saved below")
+            if rank == 0 and eval_ok:
                 logger.info(
                     f"Test epoch: {epoch_id}, time/epoch: "
                     f"{timedelta(seconds=int(time.time() - start_epoch))}, "
@@ -596,25 +621,44 @@ class Trainer:
         import queue
         import threading
         q = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def put(item):
+            # bounded put that gives up when the consumer is gone —
+            # a plain q.put would block this thread forever (holding
+            # device-resident batches) if the consumer breaks early
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for kind, data, labels, lens in loader:
                     sharded = shard_batch((data, labels, lens), self.mesh)
-                    q.put((kind,) + sharded)
+                    if not put((kind,) + sharded):
+                        return
             except Exception as e:
-                q.put(e)
+                put(e)
                 return
-            q.put(None)
+            put(None)
 
         threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # runs when the consumer breaks (stop_train) or finishes:
+            # release the producer so it drops its references
+            stop.set()
 
     def __train_epoch(self, epoch_id, max_epoch, writer, rank, base_rng,
                       data_sharding, save_model_path):
@@ -687,9 +731,13 @@ class Trainer:
                 self.train_log_step += 1
             if (batch_id % 10000 == 0 and batch_id != 0 and rank == 0
                     and save_model_path):
+                # the epoch is NOT complete: record last_epoch-1 so a
+                # crash-resume replays this epoch from these weights
+                # rather than silently skipping its remaining batches
                 save_checkpoint(self.configs, self.state, save_model_path,
                                 epoch_id, margin=self._margin(),
-                                async_saver=self._async_saver)
+                                async_saver=self._async_saver,
+                                completed_epoch=epoch_id - 1)
 
     # ------------------------------------------------------------------
     def _embed_loader(self, loader, desc):
@@ -745,7 +793,12 @@ class Trainer:
                                np.float32))
         labels = (np.concatenate(labels).astype(np.int32) if labels
                   else np.zeros((0,), np.int32))
-        if multi_process and not self.stop_eval:
+        if multi_process:
+            # UNCONDITIONALLY collective: stop_eval may be set on only
+            # some ranks (it's a per-process flag) — a rank that skipped
+            # the gather would deadlock every other rank inside
+            # process_allgather. A stopped rank simply contributes the
+            # partial shard it embedded before breaking out.
             feats, labels = allgather_ragged(feats, labels)
         return feats, labels
 

@@ -144,12 +144,18 @@ def _load_tree(target, dirpath, name):
 
 def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
                     min_dcf=None, threshold=None, margin=None,
-                    best_model=False, async_saver=None, fmt=None):
+                    best_model=False, async_saver=None, fmt=None,
+                    completed_epoch=None):
     """``state`` is the trainer's TrainState pytree.
 
     With ``async_saver`` (an :class:`AsyncSaver`), the device→host snapshot
     happens here (cheap, and required before the donated buffers are
-    reused) while serialization + disk IO run in the background."""
+    reused) while serialization + disk IO run in the background.
+
+    ``completed_epoch`` overrides the ``last_epoch`` recorded in
+    ``model.state`` — mid-epoch saves pass ``epoch_id - 1`` so an
+    auto-resume REPLAYS the interrupted epoch instead of silently
+    skipping its remaining batches."""
     tag = "best_model" if best_model else f"epoch_{epoch_id}"
     model_path = _ckpt_dir(configs, save_model_path, tag)
     if fmt is None:
@@ -162,7 +168,9 @@ def save_checkpoint(configs, state, save_model_path, epoch_id, eer=None,
     opt_tree = jax.device_get({"opt_state": state.opt_state,
                                "step": state.step})
 
-    data = {"last_epoch": int(epoch_id), "version": __version__,
+    data = {"last_epoch": int(epoch_id if completed_epoch is None
+                              else completed_epoch),
+            "version": __version__,
             "model": configs.model_conf.model,
             "feature_method": configs.preprocess_conf.feature_method,
             "loss": configs.loss_conf.get(
