@@ -171,8 +171,8 @@ EVAL_WORKER = textwrap.dedent("""
 """)
 
 
-def _run_eval_workers(tmp_path, train_list, n_procs):
-    worker = tmp_path / f"eval_worker_{n_procs}.py"
+def _run_eval_workers(tmp_path, train_list, n_procs, local_devices=1):
+    worker = tmp_path / f"eval_worker_{n_procs}_{local_devices}.py"
     worker.write_text(EVAL_WORKER.format(repo=REPO, train_list=train_list),
                       encoding="utf-8")
     envs = []
@@ -185,7 +185,11 @@ def _run_eval_workers(tmp_path, train_list, n_procs):
                              VPR_NUM_PROCESSES=str(n_procs),
                              VPR_PROCESS_ID=str(rank), JAX_PLATFORMS="cpu"))
     for env in envs:
-        env.pop("XLA_FLAGS", None)
+        if local_devices > 1:
+            env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                                f"{local_devices}")
+        else:
+            env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen([sys.executable, str(worker)], env=env,
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
@@ -208,6 +212,20 @@ def test_two_process_eval_matches_single_process(dataset, tmp_path):
     (single,) = _run_eval_workers(tmp_path, train_list, 1)
     double = _run_eval_workers(tmp_path, train_list, 2)
     # both ranks computed (and agree on) the full-list EER
+    assert double[0] == pytest.approx(double[1], abs=1e-9)
+    assert double[0][0] == pytest.approx(single[0], abs=1e-6)
+    assert double[0][1] == pytest.approx(single[1], abs=1e-6)
+
+
+def test_two_process_eval_uses_all_local_devices(dataset, tmp_path):
+    """ROADMAP round-3 item: multi-process eval embeds over a HOST-LOCAL
+    mesh (all of each process's devices, not just device 0). 2 processes
+    × 2 local CPU devices each must reproduce the single-process EER —
+    proving the local-mesh SPMD path (batch padding to the local device
+    count, replicated weights, no cross-process collectives in jit)."""
+    train_list, _ = dataset
+    (single,) = _run_eval_workers(tmp_path, train_list, 1)
+    double = _run_eval_workers(tmp_path, train_list, 2, local_devices=2)
     assert double[0] == pytest.approx(double[1], abs=1e-9)
     assert double[0][0] == pytest.approx(single[0], abs=1e-6)
     assert double[0][1] == pytest.approx(single[1], abs=1e-6)

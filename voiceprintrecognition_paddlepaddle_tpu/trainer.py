@@ -753,15 +753,25 @@ class Trainer:
         if self._jit_embed is None:
             self._jit_embed = self._build_embed_fn()
         multi_process = jax.process_count() > 1
+        eval_mesh = None if multi_process else self.mesh
         if multi_process:
-            # one host-local replica of the backbone weights: the global
-            # mesh can't be driven from a single process, and passing
-            # globally-sharded arrays into a local jit would insert
-            # collectives the other ranks never join
-            variables = jax.device_put(
-                jax.device_get(self._backbone_variables()),
-                jax.local_devices()[0])
-            n_dev = 1
+            # The global mesh can't be driven from a single process (a
+            # local jit over globally-sharded arrays would insert
+            # collectives the other ranks never join), but a HOST-LOCAL
+            # mesh over this process's own devices is fine: the embed fn
+            # has no collectives, so each rank runs plain data-parallel
+            # SPMD over jax.local_devices() and the pod's whole chip
+            # count works on eval (reference evals on rank 0 only).
+            local = jax.local_devices()
+            host_vars = jax.device_get(self._backbone_variables())
+            if len(local) > 1:
+                eval_mesh = create_mesh(local)
+                variables = jax.device_put(
+                    host_vars, replicated_sharding(eval_mesh))
+                n_dev = len(local)
+            else:
+                variables = jax.device_put(host_vars, local[0])
+                n_dev = 1
         else:
             variables = self._backbone_variables()
             n_dev = 1 if self.mesh is None else self.mesh.devices.size
@@ -782,7 +792,7 @@ class Trainer:
                     [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
                 lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
             if n_dev > 1:
-                data, lens = shard_batch((data, lens), self.mesh)
+                data, lens = shard_batch((data, lens), eval_mesh)
             emb = self._jit_embed(variables, jnp.asarray(data),
                                   jnp.asarray(lens),
                                   from_waveforms=(kind == "waveforms"))
