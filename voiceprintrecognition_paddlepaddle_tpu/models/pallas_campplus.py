@@ -73,6 +73,27 @@ _VARIANT = os.environ.get("VPR_TRUNK_VARIANT", "auto")
 # rows-per-step ceiling for the unrolled variant (measured compile wall)
 _UNROLL_MAX_TPAD = 160
 
+# FCM front-end dispatch: the Pallas FCM kernel (models/pallas_fcm.py)
+# serves the standard 80-mel config up to its VMEM-bounded bucket length;
+# set VPR_FCM_PALLAS=0 to force the XLA FCM
+_FCM_PALLAS = os.environ.get("VPR_FCM_PALLAS", "1") != "0"
+
+
+def _fcm_forward(model, variables, feats, interpret, packed_fcm=None):
+    """FCM forward for the embed paths: the fused Pallas FCM kernel when
+    the config/bucket supports it, else the XLA module."""
+    from . import pallas_fcm
+    if _FCM_PALLAS and pallas_fcm.fcm_supported(feats.shape[1],
+                                                feats.shape[2]):
+        return pallas_fcm.fcm_pallas(variables, feats, interpret=interpret,
+                                     packed=packed_fcm)
+    from .campplus import FCM
+    fcm = FCM(dtype=model.dtype)
+    return fcm.apply(
+        {"params": variables["params"]["FCM_0"],
+         "batch_stats": variables["batch_stats"]["FCM_0"]},
+        feats, train=False)
+
 # looped-variant layer-range size: each block's layers run as
 # ceil(n/_RANGE) fori_loops whose bodies compile with that range's static
 # group ceiling (see _kernel_looped)
@@ -843,19 +864,15 @@ def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None,
 
 
 def campplus_embed_pallas(model, variables, feats, interpret=False,
-                          packed=None, tvalids=None):
-    """Full CAM++ forward with the Pallas trunk: features ``(B, T, F)`` ->
-    embeddings ``(B, embd_dim)``. FCM and the final DenseBN stay on XLA
-    (2-D convs XLA already handles; the head is tiny). ``tvalids``:
-    host-side per-utterance valid trunk-frame counts for padded batches."""
-    from .campplus import FCM
+                          packed=None, tvalids=None, packed_fcm=None):
+    """Full CAM++ forward with the Pallas kernels: features ``(B, T, F)``
+    -> embeddings ``(B, embd_dim)``. The FCM front-end runs the fused
+    Pallas FCM kernel when the config/bucket supports it (else XLA); only
+    the tiny DenseBN head stays on XLA. ``tvalids``: host-side
+    per-utterance valid trunk-frame counts for padded batches."""
     from .layers import DenseBN
 
-    fcm = FCM(dtype=model.dtype)
-    fcm_out = fcm.apply(
-        {"params": variables["params"]["FCM_0"],
-         "batch_stats": variables["batch_stats"]["FCM_0"]},
-        feats, train=False)
+    fcm_out = _fcm_forward(model, variables, feats, interpret, packed_fcm)
     stats = trunk_stats_pallas(variables, fcm_out, interpret=interpret,
                                packed=packed, tvalids=tvalids)
     head = DenseBN(model.embd_dim, config_str="batchnorm_", dtype=model.dtype)
@@ -866,14 +883,18 @@ def campplus_embed_pallas(model, variables, feats, interpret=False,
 
 
 def make_campplus_embed_fn(model, variables, interpret=False):
-    """One-time setup for the fast inference path: packs the trunk weights
-    on device once (per checkpoint) and returns a jittable
+    """One-time setup for the fast inference path: packs the trunk + FCM
+    weights on device once (per checkpoint) and returns a jittable
     ``feats (B, T, F) -> embeddings (B, embd_dim)`` closure."""
+    from .pallas_fcm import pack_fcm
+
     packed = jax.jit(lambda v: default_pack(v, trunk_plan()))(variables)
+    packed_fcm = jax.jit(pack_fcm)(variables)
 
     def embed(feats):
         return campplus_embed_pallas(model, variables, feats,
-                                     interpret=interpret, packed=packed)
+                                     interpret=interpret, packed=packed,
+                                     packed_fcm=packed_fcm)
 
     return embed
 
@@ -885,10 +906,8 @@ def make_campplus_eval_embed_fn(model, featurizer, interpret=False):
     batch) shape that serves *any* checkpoint. This is the
     ``Trainer.evaluate()`` path, where the weights change every epoch
     (``packed = default_pack(variables)``, cheap under jit)."""
-    from .campplus import FCM
     from .layers import DenseBN
 
-    fcm = FCM(dtype=model.dtype)
     head = DenseBN(model.embd_dim, config_str="batchnorm_",
                    dtype=model.dtype)
 
@@ -896,10 +915,9 @@ def make_campplus_eval_embed_fn(model, featurizer, interpret=False):
     def inner(variables, packed, waves, ratios, pt, msel, ssel, mask,
               corr, *, t_pad, u, b):
         feats = featurizer.featurize(waves, input_lens_ratio=ratios)
-        fcm_out = fcm.apply(
-            {"params": variables["params"]["FCM_0"],
-             "batch_stats": variables["batch_stats"]["FCM_0"]},
-            feats, train=False)
+        # FCM weights are traced here (they change every epoch); the pack
+        # is a handful of small gathers, fused into the compiled program
+        fcm_out = _fcm_forward(model, variables, feats, interpret)
         b_pad = pt.shape[0] * u
         if b_pad != b:
             fcm_out = jnp.concatenate(

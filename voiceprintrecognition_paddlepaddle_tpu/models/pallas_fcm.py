@@ -1,0 +1,390 @@
+"""Pallas TPU kernel: the whole CAM++ FCM 2-D front-end in one kernel.
+
+The FCM residual front-end (reference ``ppvector/models/campplus.py:246-281``:
+a 1->32 3x3 conv, four 32-channel BasicResBlocks with frequency-stride-2
+halvings, and a final stride-2 conv, freq 80 -> 10) is the largest segment
+of the embed path left on XLA: 3x3 convs at 32 channels run at ~25% useful
+MXU occupancy because XLA pads Cout 32 -> 128 lanes (measured 7.9 ms of the
+13.5 ms batch-256 x 3 s step, ~93% MXU-busy — ROADMAP.md "Why FCM stays on
+XLA").
+
+The TPU-first reformulation: **space-to-depth by 2x2**. Activations live as
+``(F/2 groups, T/2 groups, 128 lanes)`` where the 128 lanes are
+``(freq parity, time parity, channel) = 4 x 32``. A 3x3 stride-1 conv then
+produces all four parities of an output group from a 16-tap patch — an
+im2col matrix ``P (rows, 16*32=512)`` built by static shifted copies inside
+VMEM — and ONE ``(rows, 512) @ (512, 128)`` matmul with a block-sparse
+packed weight whose useful density is 9/16 = 56% (vs XLA's 25%), with all
+128 output lanes busy. Stride-2 convs read even/odd freq groups (20 taps,
+K=640, density 45%). The nine convolutions chain inside one kernel:
+activations and im2col patches never leave VMEM, BatchNorms fold into
+per-lane affines at pack time, and HBM traffic collapses to
+(features in) + (FCM output out) + weights-once.
+
+Zero padding ('same' conv) falls out of the shift machinery: row shifts
+insert zeros at frequency edges, and a per-(time-group, parity) validity
+mask re-zeroes the time guard columns after every conv so the next conv's
+taps read exact zero padding — bit-identical semantics to the XLA path's
+per-layer zero pads (including odd-length buckets, where the last time
+group is half valid).
+
+Numerics are tested against the XLA path in interpret mode (fp32 exact,
+bf16 tolerance) and on device; see ``tests/test_pallas_fcm.py``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pack_fcm", "fcm_pallas", "fcm_supported", "FCM_MAX_FRAMES"]
+
+F_IN = 80            # FCM input mel bins (kernel specialised to the config)
+FG0 = F_IN // 2      # freq groups at the conv0 stage
+_C = 32              # m_channels (reference campplus.py:249)
+
+# longest bucket (feature frames) the single-pass kernel serves: VMEM holds
+# ~100 KB per time-group row (activations + im2col scratch), so ~15 s
+# fits the 128 MB budget with headroom. Longer buckets fall back to the
+# XLA FCM (the Pallas trunk still serves them).
+FCM_MAX_FRAMES = 1500
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _split(q):
+    """Packed offset ``q`` (input index = 2*group + q) -> (parity, group
+    offset): -1 -> (1,-1), 0 -> (0,0), 1 -> (1,0), 2 -> (0,1), 3 -> (1,1)."""
+    p = q % 2
+    return p, (q - p) // 2
+
+
+def _taps(stride):
+    """Tap list (q_f, q_t) for one packed 2x2 output group: input position
+    = 2*stride*fg + q_f (freq), 2*tg + q_t (time)."""
+    qfs = (-1, 0, 1, 2) if stride == 1 else (-1, 0, 1, 2, 3)
+    return [(qf, qt) for qf in qfs for qt in (-1, 0, 1, 2)]
+
+
+_TAPS1 = _taps(1)    # 16 taps, K = 512
+_TAPS2 = _taps(2)    # 20 taps, K = 640
+
+
+# ---------------------------------------------------------------------------
+# weight packing (pure jax; jit-fused with the caller so the eval path can
+# trace it with the weights as arguments)
+# ---------------------------------------------------------------------------
+def _bn_affine(p, s, eps=1e-5):
+    a = p["scale"] / jnp.sqrt(s["var"] + eps)
+    return a.astype(jnp.float32), (p["bias"] - s["mean"] * a).astype(
+        jnp.float32)
+
+
+def _pack_conv3x3(kernel, stride, compute_dtype):
+    """(3, 3, cin, 32) conv kernel -> (len(taps)*cin, 128) packed matmul
+    weight. Row block = tap (q_f, q_t); column block = output
+    (freq parity, time parity); entry = kernel[df, dt] where the tap is
+    the (df, dt) input of that output parity, else 0."""
+    cin = kernel.shape[2]
+    zero = jnp.zeros((cin, _C), kernel.dtype)
+    rows = []
+    for qf, qt in _taps(stride):
+        cols = []
+        for pfo in (0, 1):
+            for pto in (0, 1):
+                df = qf - stride * pfo + 1
+                dt = qt - pto + 1
+                cols.append(kernel[df, dt] if 0 <= df <= 2 and 0 <= dt <= 2
+                            else zero)
+        rows.append(jnp.concatenate(cols, axis=1))
+    return jnp.concatenate(rows, axis=0).astype(compute_dtype)
+
+
+def _pack_conv1x1(kernel, compute_dtype):
+    """(1, 1, 32, 32) stride-(2,1) shortcut conv -> (128, 128) block-diag
+    packed weight: output (pfo, pto) reads input lane block (pf=0, pt=pto)
+    of the even (pfo=0) / odd (pfo=1) freq-group array — the patch builder
+    lays those four 32-lane blocks out in (pfo, pto) order."""
+    w = kernel[0, 0]
+    z = jnp.zeros_like(w)
+    rows = []
+    for q in range(4):
+        rows.append(jnp.concatenate([w if c == q else z for c in range(4)],
+                                    axis=1))
+    return jnp.concatenate(rows, axis=0).astype(compute_dtype)
+
+
+def pack_fcm(variables, compute_dtype=jnp.bfloat16):
+    """CAM++ flax variables -> packed FCM arrays for the kernel.
+
+    Conv order (affine row i folds conv bias + BatchNorm): 0 conv0,
+    1 b1c1(s2), 2 b1c2, 3 sc1, 4 b2c1, 5 b2c2, 6 b3c1(s2), 7 b3c2, 8 sc3,
+    9 b4c1, 10 b4c2, 11 final(s2)."""
+    p = variables["params"]["FCM_0"]
+    s = variables["batch_stats"]["FCM_0"]
+
+    specs = [
+        (p["Conv_0"], p["BatchNorm_0"], s["BatchNorm_0"], 1),
+        (p["BasicResBlock_0"]["Conv_0"], p["BasicResBlock_0"]["BatchNorm_0"],
+         s["BasicResBlock_0"]["BatchNorm_0"], 2),
+        (p["BasicResBlock_0"]["Conv_1"], p["BasicResBlock_0"]["BatchNorm_1"],
+         s["BasicResBlock_0"]["BatchNorm_1"], 1),
+        (p["BasicResBlock_0"]["Conv_2"], p["BasicResBlock_0"]["BatchNorm_2"],
+         s["BasicResBlock_0"]["BatchNorm_2"], 0),
+        (p["BasicResBlock_1"]["Conv_0"], p["BasicResBlock_1"]["BatchNorm_0"],
+         s["BasicResBlock_1"]["BatchNorm_0"], 1),
+        (p["BasicResBlock_1"]["Conv_1"], p["BasicResBlock_1"]["BatchNorm_1"],
+         s["BasicResBlock_1"]["BatchNorm_1"], 1),
+        (p["BasicResBlock_2"]["Conv_0"], p["BasicResBlock_2"]["BatchNorm_0"],
+         s["BasicResBlock_2"]["BatchNorm_0"], 2),
+        (p["BasicResBlock_2"]["Conv_1"], p["BasicResBlock_2"]["BatchNorm_1"],
+         s["BasicResBlock_2"]["BatchNorm_1"], 1),
+        (p["BasicResBlock_2"]["Conv_2"], p["BasicResBlock_2"]["BatchNorm_2"],
+         s["BasicResBlock_2"]["BatchNorm_2"], 0),
+        (p["BasicResBlock_3"]["Conv_0"], p["BasicResBlock_3"]["BatchNorm_0"],
+         s["BasicResBlock_3"]["BatchNorm_0"], 1),
+        (p["BasicResBlock_3"]["Conv_1"], p["BasicResBlock_3"]["BatchNorm_1"],
+         s["BasicResBlock_3"]["BatchNorm_1"], 1),
+        (p["Conv_1"], p["BatchNorm_1"], s["BatchNorm_1"], 2),
+    ]
+
+    out = {}
+    affs = []
+    for i, (conv, bnp, bns, stride) in enumerate(specs):
+        a, b = _bn_affine(bnp, bns)
+        affs.append(jnp.stack([jnp.tile(a, 4),
+                               jnp.tile(a * conv["bias"] + b, 4)]))
+        if stride == 0:
+            w = _pack_conv1x1(conv["kernel"], compute_dtype)
+        else:
+            w = _pack_conv3x3(conv["kernel"], stride, compute_dtype)
+            if i == 0:
+                # conv0: 1 input channel -> 16 rows; pad to a full 128-row
+                # matmul (the patch scratch keeps lanes 16: zeroed)
+                w = jnp.concatenate(
+                    [w, jnp.zeros((128 - w.shape[0], 128), compute_dtype)])
+        out[f"w{i}"] = w
+    out["aff"] = jnp.stack(affs)                     # (12, 2, 128) f32
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
+            w5_ref, w6_ref, w7_ref, w8_ref, w9_ref, w10_ref, w11_ref,
+            aff_ref, out_ref, a_s, b_s, c_s, d_s, p_s, p16_s, psc_s, *,
+            t2p, compute_dtype):
+    f32 = jnp.float32
+    cd = compute_dtype
+    m0, m2, m3 = FG0 * t2p, 10 * t2p, 5 * t2p
+    maskv = mask_ref[:]                              # (t2p, 128) f32
+
+    def aff(val, i):
+        return (val * aff_ref[i, 0][None, :] + aff_ref[i, 1][None, :])
+
+    def store(ref, val, fg, relu=True):
+        if relu:
+            val = jnp.maximum(val, 0.0)
+        val = (val.reshape(fg, t2p, 128) * maskv[None]).reshape(
+            fg * t2p, 128)
+        ref[0:fg * t2p, :] = val.astype(cd)
+
+    def copy(pref, d0, width, s, src, l0, m):
+        """pref[r, d0:d0+width] = src[r + s, l0:l0+width] with zero fill
+        past the array (the frequency/time 'same' padding)."""
+        if s >= 0:
+            pref[0:m - s, d0:d0 + width] = src[s:m, l0:l0 + width]
+            if s:
+                pref[m - s:m, d0:d0 + width] = jnp.zeros((s, width), cd)
+        else:
+            pref[-s:m, d0:d0 + width] = src[0:m + s, l0:l0 + width]
+            pref[0:-s, d0:d0 + width] = jnp.zeros((-s, width), cd)
+
+    def patch_s1(x, fg):
+        """im2col for a stride-1 3x3 conv from the packed array ``x``
+        ((fg*t2p, 128) value) into p_s[:fg*t2p, :512]."""
+        m = fg * t2p
+        for slot, (qf, qt) in enumerate(_TAPS1):
+            pf, fo = _split(qf)
+            pt, to = _split(qt)
+            lb = (pf * 2 + pt) * 32
+            copy(p_s, slot * 32, 32, fo * t2p + to, x, lb, m)
+        return m
+
+    def deint(x, fg):
+        """Even/odd freq-group split of a (fg*t2p, 128) value."""
+        x3 = x.reshape(fg // 2, 2, t2p, 128)
+        return (x3[:, 0].reshape(-1, 128), x3[:, 1].reshape(-1, 128))
+
+    def patch_s2(e, o, fgo):
+        """im2col for a freq-stride-2 3x3 conv into p_s[:fgo*t2p, :640]."""
+        m = fgo * t2p
+        for slot, (qf, qt) in enumerate(_TAPS2):
+            pf = qf % 2
+            d = (qf - pf) // 2
+            src, g = (e, d // 2) if d % 2 == 0 else (o, (d - 1) // 2)
+            pt, to = _split(qt)
+            lb = (pf * 2 + pt) * 32
+            copy(p_s, slot * 32, 32, g * t2p + to, src, lb, m)
+        return m
+
+    def patch_sc(e, o, fgo):
+        """Patch for the stride-(2,1) 1x1 shortcut conv: output (pfo, pto)
+        reads (pf=0, pt=pto) lanes of the even/odd freq-group array."""
+        m = fgo * t2p
+        for pfo in (0, 1):
+            for pto in (0, 1):
+                copy(psc_s, (pfo * 2 + pto) * 32, 32, 0,
+                     e if pfo == 0 else o, pto * 32, m)
+        return m
+
+    # conv0 patches land in lanes [0:16] of p16_s; lanes [16:] must be
+    # zero (w0's rows there are zero-padded, and 0 * garbage could be NaN
+    # on the very first grid step) — zeroed once, scratch persists
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        p16_s[:, 16:] = jnp.zeros((m0, 112), cd)
+
+    # ---- conv0: 1 -> 32 channels at F=80 ----
+    x1 = x1_ref[0].reshape(m0, 4)
+    for slot, (qf, qt) in enumerate(_TAPS1):
+        pf, fo = _split(qf)
+        pt, to = _split(qt)
+        copy(p16_s, slot, 1, fo * t2p + to, x1, pf * 2 + pt, m0)
+    y = jnp.dot(p16_s[:], w0_ref[:], preferred_element_type=f32)
+    store(a_s, aff(y, 0), FG0)
+
+    # ---- BasicResBlock_0 (stride 2): F 80 -> 40 ----
+    xa = a_s[:]
+    e, o = deint(xa, FG0)
+    m = patch_s2(e, o, 20)
+    y1 = jnp.dot(p_s[0:m, 0:640], w1_ref[:], preferred_element_type=f32)
+    store(b_s, aff(y1, 1), 20)
+    xb = b_s[:]
+    patch_s1(xb, 20)
+    y2 = jnp.dot(p_s[0:m, 0:512], w2_ref[:], preferred_element_type=f32)
+    patch_sc(e, o, 20)
+    sc = jnp.dot(psc_s[0:m], w3_ref[:], preferred_element_type=f32)
+    store(b_s, aff(y2, 2) + aff(sc, 3), 20)
+
+    # ---- BasicResBlock_1 (identity) at F=40 ----
+    xb = b_s[:]
+    m = patch_s1(xb, 20)
+    y1 = jnp.dot(p_s[0:m, 0:512], w4_ref[:], preferred_element_type=f32)
+    store(c_s, aff(y1, 4), 20)
+    patch_s1(c_s[:], 20)
+    y2 = jnp.dot(p_s[0:m, 0:512], w5_ref[:], preferred_element_type=f32)
+    store(b_s, aff(y2, 5) + xb.astype(f32), 20)
+
+    # ---- BasicResBlock_2 (stride 2): F 40 -> 20 ----
+    xb = b_s[:]
+    e, o = deint(xb, 20)
+    m = patch_s2(e, o, 10)
+    y1 = jnp.dot(p_s[0:m, 0:640], w6_ref[:], preferred_element_type=f32)
+    store(d_s, aff(y1, 6), 10)
+    patch_s1(d_s[0:m2, :], 10)
+    y2 = jnp.dot(p_s[0:m, 0:512], w7_ref[:], preferred_element_type=f32)
+    patch_sc(e, o, 10)
+    sc = jnp.dot(psc_s[0:m], w8_ref[:], preferred_element_type=f32)
+    store(d_s, aff(y2, 7) + aff(sc, 8), 10)
+
+    # ---- BasicResBlock_3 (identity) at F=20 ----
+    xd = d_s[0:m2, :]
+    m = patch_s1(xd, 10)
+    y1 = jnp.dot(p_s[0:m, 0:512], w9_ref[:], preferred_element_type=f32)
+    store(c_s, aff(y1, 9), 10)                       # c_s rows [0:m2] reused
+    patch_s1(c_s[0:m2, :], 10)
+    y2 = jnp.dot(p_s[0:m, 0:512], w10_ref[:], preferred_element_type=f32)
+    store(d_s, aff(y2, 10) + xd.astype(f32), 10)
+
+    # ---- final conv (stride 2): F 20 -> 10 ----
+    xd = d_s[0:m2, :]
+    e, o = deint(xd, 10)
+    m = patch_s2(e, o, 5)
+    y = jnp.dot(p_s[0:m, 0:640], w11_ref[:], preferred_element_type=f32)
+    y = jnp.maximum(aff(y, 11), 0.0)
+    y = (y.reshape(5, t2p, 128) * maskv[None]).reshape(m3, 128)
+    out_ref[:] = y
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("t", "t2p", "interpret"))
+def _fcm_call(packed, x1, *, t, t2p, interpret):
+    b = x1.shape[0]
+    cd = packed["w1"].dtype
+
+    # validity mask over (time group, lane): lane parity pt = (lane//32)%2,
+    # valid iff 2*tg + pt < t. Also zeroes the guard columns tg >= ceil(t/2)
+    mask = (2 * jnp.arange(t2p)[:, None]
+            + (jnp.arange(128)[None, :] // 32) % 2 < t).astype(jnp.float32)
+
+    kernel = functools.partial(_kernel, t2p=t2p, compute_dtype=cd)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    m0, m1, m2, m3 = FG0 * t2p, 20 * t2p, 10 * t2p, 5 * t2p
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, FG0, t2p, 4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(t2p, 128),
+        ] + [const(*packed[f"w{i}"].shape) for i in range(12)]
+          + [const(*packed["aff"].shape)],
+        out_specs=pl.BlockSpec((m3, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * m3, 128), jnp.float32),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((m0, 128), cd),               # a_s  (F=80 stage)
+            pltpu.VMEM((m1, 128), cd),               # b_s  (F=40 stage)
+            pltpu.VMEM((m1, 128), cd),               # c_s
+            pltpu.VMEM((m2, 128), cd),               # d_s  (F=20 stage)
+            pltpu.VMEM((m1, 640), cd),               # p_s  im2col
+            pltpu.VMEM((m0, 128), cd),               # p16_s conv0 im2col
+            pltpu.VMEM((m1, 128), cd),               # psc_s shortcut im2col
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(x1, mask, *[packed[f"w{i}"] for i in range(12)], packed["aff"])
+
+    # (b*5*t2p, 128) -> (B, T, 320): lanes are (pf, pt, c), rows (fg, tg);
+    # output feature order matches campplus.FCM: (2*fg+pf)*32 + c
+    out = out.reshape(b, 5, t2p, 2, 2, _C).transpose(0, 2, 4, 1, 3, 5)
+    return out.reshape(b, 2 * t2p, 10 * _C)[:, :t]
+
+
+def fcm_supported(t, n_feats):
+    return n_feats == F_IN and t <= FCM_MAX_FRAMES
+
+
+def fcm_pallas(variables, feats, interpret=False, packed=None,
+               compute_dtype=jnp.bfloat16):
+    """FCM forward: features ``(B, T, 80)`` -> ``(B, T, 320)`` inside one
+    Pallas kernel (inference; BatchNorms folded). Drop-in for
+    ``FCM.apply(..., train=False)`` — same 'same'-padding semantics at the
+    bucket edge. Pass ``packed=pack_fcm(variables)`` (once per checkpoint)
+    to skip per-call packing."""
+    b, t, f = feats.shape
+    assert f == F_IN, f
+    assert t <= FCM_MAX_FRAMES, t
+    if packed is None:
+        packed = pack_fcm(variables, compute_dtype)
+    t2 = -(-t // 2)
+    t2p = _round_up(t2 + 1, 8)
+    cd = packed["w1"].dtype
+    x = jnp.pad(feats.astype(jnp.float32), ((0, 0), (0, 2 * t2p - t),
+                                            (0, 0)))
+    # (B, 2*t2p, 80) -> (B, FG0, t2p, (pf, pt)): x1[b, fg, tg, pf*2+pt]
+    # = feats[b, 2*tg+pt, 2*fg+pf]
+    x = x.reshape(b, t2p, 2, FG0, 2).transpose(0, 3, 1, 4, 2)
+    x1 = x.reshape(b, FG0, t2p, 4).astype(cd)
+    return _fcm_call(packed, x1, t=t, t2p=t2p, interpret=interpret)
