@@ -68,10 +68,26 @@ def test_fcm_kernel_batch_parity(fcm_and_vars):
     np.testing.assert_allclose(full[2:3], one, rtol=0, atol=1e-6)
 
 
+@pytest.mark.parametrize("t", [600, 601])
+def test_fcm_kernel_chunked_long_bucket(fcm_and_vars, t):
+    """Buckets past the single-pass VMEM window run the same kernel over
+    overlapping halo windows — exact at chunk boundaries (the halo covers
+    the 9-conv receptive field) for even and odd lengths."""
+    model, v, variables = fcm_and_vars
+    rng = np.random.RandomState(t)
+    feats = jnp.asarray(rng.randn(2, t, 80).astype(np.float32))
+    ref = np.asarray(model.apply(v, feats, train=False))
+    packed = pack_fcm(variables, compute_dtype=jnp.float32)
+    got = np.asarray(fcm_pallas(variables, feats, interpret=True,
+                                packed=packed))
+    assert got.shape == ref.shape
+    assert np.abs(ref - got).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
 def test_fcm_supported_gate():
     assert fcm_supported(298, 80)
     assert fcm_supported(FCM_MAX_FRAMES, 80)
-    assert not fcm_supported(FCM_MAX_FRAMES + 1, 80)   # VMEM-bounded
+    assert not fcm_supported(FCM_MAX_FRAMES + 1, 80)
     assert not fcm_supported(298, 64)                  # non-80-mel config
 
 

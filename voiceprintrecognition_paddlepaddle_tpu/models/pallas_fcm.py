@@ -46,11 +46,17 @@ F_IN = 80            # FCM input mel bins (kernel specialised to the config)
 FG0 = F_IN // 2      # freq groups at the conv0 stage
 _C = 32              # m_channels (reference campplus.py:249)
 
-# longest bucket (feature frames) the single-pass kernel serves: VMEM holds
-# ~100 KB per time-group row (activations + im2col scratch), so ~15 s
-# fits the 128 MB budget with headroom. Longer buckets fall back to the
-# XLA FCM (the Pallas trunk still serves them).
-FCM_MAX_FRAMES = 1500
+# single-pass vs chunked dispatch: VMEM holds ~100 KB per time-group row
+# (activations + im2col scratch), so buckets up to _CHUNK_T2P groups run
+# in one pass; longer buckets run the SAME kernel over overlapping
+# halo windows (see _fcm_call_chunked), making the length cap nominal.
+_CHUNK_T2P = 256
+# chunk geometry: 9 chained 3x3 convs have a +-9-frame receptive field
+# = +-5 time groups, so a 5-group halo per side gives exact continuity;
+# core 118 + halo 10 = 128 groups per window (sublane-aligned)
+_HALO = 5
+_CORE = 118
+FCM_MAX_FRAMES = 6000           # nominal (predict's 40 s bucket cap rules)
 
 
 def _round_up(x, m):
@@ -183,7 +189,7 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
     f32 = jnp.float32
     cd = compute_dtype
     m0, m2, m3 = FG0 * t2p, 10 * t2p, 5 * t2p
-    maskv = mask_ref[:]                              # (t2p, 128) f32
+    maskv = mask_ref[:].reshape(t2p, 128)            # f32
 
     def aff(val, i):
         return (val * aff_ref[i, 0][None, :] + aff_ref[i, 1][None, :])
@@ -310,12 +316,20 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
     y = jnp.dot(p_s[0:m, 0:640], w11_ref[:], preferred_element_type=f32)
     y = jnp.maximum(aff(y, 11), 0.0)
     y = (y.reshape(5, t2p, 128) * maskv[None]).reshape(m3, 128)
-    out_ref[:] = y
+    out_ref[...] = y.reshape(out_ref.shape)
 
 
 # ---------------------------------------------------------------------------
-# host-side wrapper
+# host-side wrappers
 # ---------------------------------------------------------------------------
+def _degroup(out, b, n_groups, t):
+    """Kernel output rows ``(b, 5, n_groups, 128)`` -> ``(B, T, 320)``:
+    lanes are (pf, pt, c), rows (fg, tg); feature order matches
+    campplus.FCM: ``(2*fg + pf)*32 + c``."""
+    out = out.reshape(b, 5, n_groups, 2, 2, _C).transpose(0, 2, 4, 1, 3, 5)
+    return out.reshape(b, 2 * n_groups, 10 * _C)[:, :t]
+
+
 @functools.partial(jax.jit, static_argnames=("t", "t2p", "interpret"))
 def _fcm_call(packed, x1, *, t, t2p, interpret):
     b = x1.shape[0]
@@ -355,11 +369,64 @@ def _fcm_call(packed, x1, *, t, t2p, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(x1, mask, *[packed[f"w{i}"] for i in range(12)], packed["aff"])
+    return _degroup(out, b, t2p, t)
 
-    # (b*5*t2p, 128) -> (B, T, 320): lanes are (pf, pt, c), rows (fg, tg);
-    # output feature order matches campplus.FCM: (2*fg+pf)*32 + c
-    out = out.reshape(b, 5, t2p, 2, 2, _C).transpose(0, 2, 4, 1, 3, 5)
-    return out.reshape(b, 2 * t2p, 10 * _C)[:, :t]
+
+@functools.partial(jax.jit, static_argnames=("t", "n_c", "interpret"))
+def _fcm_call_chunked(packed, xw, *, t, n_c, interpret):
+    """The SAME kernel over overlapping halo windows: window j covers
+    absolute time groups [j*_CORE - _HALO, j*_CORE + _CORE + _HALO); only
+    the _CORE central groups are kept, so the zero fill the shift
+    machinery injects at window edges never reaches a kept output (the
+    9-conv receptive field is +-5 groups = the halo). Per-window VMEM is
+    constant, so any bucket length runs."""
+    b = xw.shape[0]
+    cd = packed["w1"].dtype
+    gp = _CORE + 2 * _HALO
+
+    # absolute validity per (window, local group, lane): local group g of
+    # window j is absolute group j*_CORE + g - _HALO; lane parity pt =
+    # (lane//32) % 2; valid iff 0 <= 2*abs_group + pt < t
+    tg_abs = (_CORE * jnp.arange(n_c)[:, None, None]
+              + jnp.arange(gp)[None, :, None] - _HALO)
+    pt = (jnp.arange(128)[None, None, :] // 32) % 2
+    mask = ((tg_abs >= 0) & (2 * tg_abs + pt < t)).astype(jnp.float32)
+
+    kernel = functools.partial(_kernel, t2p=gp, compute_dtype=cd)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    m3 = 5 * gp
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_c),
+        in_specs=[
+            pl.BlockSpec((1, 1, FG0, gp, 4), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gp, 128), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [const(*packed[f"w{i}"].shape) for i in range(12)]
+          + [const(*packed["aff"].shape)],
+        out_specs=pl.BlockSpec((1, 1, m3, 128), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_c, m3, 128), jnp.float32),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((FG0 * gp, 128), cd),
+            pltpu.VMEM((20 * gp, 128), cd),
+            pltpu.VMEM((20 * gp, 128), cd),
+            pltpu.VMEM((10 * gp, 128), cd),
+            pltpu.VMEM((20 * gp, 640), cd),
+            pltpu.VMEM((FG0 * gp, 128), cd),
+            pltpu.VMEM((20 * gp, 128), cd),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(xw, mask, *[packed[f"w{i}"] for i in range(12)], packed["aff"])
+
+    # keep the core groups of every window and stitch
+    out = out.reshape(b, n_c, 5, gp, 128)[:, :, :, _HALO:_HALO + _CORE]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(b, 5, n_c * _CORE, 128)
+    return _degroup(out, b, n_c * _CORE, t)
 
 
 def fcm_supported(t, n_feats):
@@ -375,16 +442,25 @@ def fcm_pallas(variables, feats, interpret=False, packed=None,
     to skip per-call packing."""
     b, t, f = feats.shape
     assert f == F_IN, f
-    assert t <= FCM_MAX_FRAMES, t
     if packed is None:
         packed = pack_fcm(variables, compute_dtype)
-    t2 = -(-t // 2)
-    t2p = _round_up(t2 + 1, 8)
     cd = packed["w1"].dtype
-    x = jnp.pad(feats.astype(jnp.float32), ((0, 0), (0, 2 * t2p - t),
-                                            (0, 0)))
-    # (B, 2*t2p, 80) -> (B, FG0, t2p, (pf, pt)): x1[b, fg, tg, pf*2+pt]
-    # = feats[b, 2*tg+pt, 2*fg+pf]
-    x = x.reshape(b, t2p, 2, FG0, 2).transpose(0, 3, 1, 4, 2)
-    x1 = x.reshape(b, FG0, t2p, 4).astype(cd)
-    return _fcm_call(packed, x1, t=t, t2p=t2p, interpret=interpret)
+    t2 = -(-t // 2)
+
+    def s2d(t2pad):
+        """(B, T, 80) -> (B, FG0, t2pad, (pf, pt)): x1[b, fg, tg, pf*2+pt]
+        = feats[b, 2*tg+pt, 2*fg+pf] (zero padded past t)."""
+        x = jnp.pad(feats.astype(jnp.float32),
+                    ((0, 0), (0, 2 * t2pad - t), (0, 0)))
+        x = x.reshape(b, t2pad, 2, FG0, 2).transpose(0, 3, 1, 4, 2)
+        return x.reshape(b, FG0, t2pad, 4).astype(cd)
+
+    t2p = _round_up(t2 + 1, 8)
+    if t2p <= _CHUNK_T2P:
+        return _fcm_call(packed, s2d(t2p), t=t, t2p=t2p,
+                         interpret=interpret)
+    n_c = -(-t2 // _CORE)
+    xp = jnp.pad(s2d(n_c * _CORE), ((0, 0), (0, 0), (_HALO, _HALO), (0, 0)))
+    xw = jnp.stack([xp[:, :, c * _CORE:c * _CORE + _CORE + 2 * _HALO]
+                    for c in range(n_c)], axis=1)   # (B, n_c, FG0, 128, 4)
+    return _fcm_call_chunked(packed, xw, t=t, n_c=n_c, interpret=interpret)
