@@ -70,15 +70,51 @@ def _split(q):
     return p, (q - p) // 2
 
 
+def _tap_src(qf, qt, stride):
+    """Tap (q_f, q_t) -> (source array id, row shift components, source
+    lane block). Source 0 is the input array itself for stride 1 / the
+    even freq groups for stride 2; source 1 is the odd groups."""
+    pt, to = _split(qt)
+    if stride == 1:
+        pf, fo = _split(qf)
+        src = 0
+    else:
+        pf = qf % 2
+        d = (qf - pf) // 2
+        src, fo = (0, d // 2) if d % 2 == 0 else (1, (d - 1) // 2)
+    return src, fo, to, pf * 2 + pt
+
+
 def _taps(stride):
     """Tap list (q_f, q_t) for one packed 2x2 output group: input position
-    = 2*stride*fg + q_f (freq), 2*tg + q_t (time)."""
+    = 2*stride*fg + q_f (freq), 2*tg + q_t (time). Ordered so taps
+    sharing a (source, shift) land in consecutive slots with ascending
+    source lane blocks — adjacent copies then merge into one wide move."""
     qfs = (-1, 0, 1, 2) if stride == 1 else (-1, 0, 1, 2, 3)
-    return [(qf, qt) for qf in qfs for qt in (-1, 0, 1, 2)]
+    base = [(qf, qt) for qf in qfs for qt in (-1, 0, 1, 2)]
+    return sorted(base, key=lambda t: _tap_src(*t, stride))
+
+
+def _copy_plan(stride):
+    """Merged copy descriptors (dest_block0, n_blocks, src_id, row_shift
+    f/t components, src_block0) for one im2col build."""
+    plan = []
+    for slot, (qf, qt) in enumerate(_taps(stride)):
+        src, fo, to, blk = _tap_src(qf, qt, stride)
+        if (plan and tuple(plan[-1][2:5]) == (src, fo, to)
+                and plan[-1][0] + plan[-1][1] == slot
+                and plan[-1][5] + plan[-1][1] == blk):
+            plan[-1][1] += 1
+        else:
+            plan.append([slot, 1, src, fo, to, blk])
+    # list entries: [dest0, n, src, fo, to, blk0]
+    return [tuple(e) for e in plan]
 
 
 _TAPS1 = _taps(1)    # 16 taps, K = 512
 _TAPS2 = _taps(2)    # 20 taps, K = 640
+_PLAN1 = _copy_plan(1)   # 11 merged copies
+_PLAN2 = _copy_plan(2)   # 13 merged copies
 
 
 # ---------------------------------------------------------------------------
@@ -216,11 +252,8 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
         """im2col for a stride-1 3x3 conv from the packed array ``x``
         ((fg*t2p, 128) value) into p_s[:fg*t2p, :512]."""
         m = fg * t2p
-        for slot, (qf, qt) in enumerate(_TAPS1):
-            pf, fo = _split(qf)
-            pt, to = _split(qt)
-            lb = (pf * 2 + pt) * 32
-            copy(p_s, slot * 32, 32, fo * t2p + to, x, lb, m)
+        for d0, n, _, fo, to, b0 in _PLAN1:
+            copy(p_s, d0 * 32, n * 32, fo * t2p + to, x, b0 * 32, m)
         return m
 
     def deint(x, fg):
@@ -231,13 +264,9 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
     def patch_s2(e, o, fgo):
         """im2col for a freq-stride-2 3x3 conv into p_s[:fgo*t2p, :640]."""
         m = fgo * t2p
-        for slot, (qf, qt) in enumerate(_TAPS2):
-            pf = qf % 2
-            d = (qf - pf) // 2
-            src, g = (e, d // 2) if d % 2 == 0 else (o, (d - 1) // 2)
-            pt, to = _split(qt)
-            lb = (pf * 2 + pt) * 32
-            copy(p_s, slot * 32, 32, g * t2p + to, src, lb, m)
+        for d0, n, src, fo, to, b0 in _PLAN2:
+            copy(p_s, d0 * 32, n * 32, fo * t2p + to, (e, o)[src],
+                 b0 * 32, m)
         return m
 
     def patch_sc(e, o, fgo):
@@ -259,10 +288,8 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
 
     # ---- conv0: 1 -> 32 channels at F=80 ----
     x1 = x1_ref[0].reshape(m0, 4)
-    for slot, (qf, qt) in enumerate(_TAPS1):
-        pf, fo = _split(qf)
-        pt, to = _split(qt)
-        copy(p16_s, slot, 1, fo * t2p + to, x1, pf * 2 + pt, m0)
+    for d0, n, _, fo, to, b0 in _PLAN1:
+        copy(p16_s, d0, n, fo * t2p + to, x1, b0, m0)
     y = jnp.dot(p16_s[:], w0_ref[:], preferred_element_type=f32)
     store(a_s, aff(y, 0), FG0)
 
