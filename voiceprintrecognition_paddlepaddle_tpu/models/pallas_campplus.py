@@ -876,10 +876,13 @@ def campplus_embed_pallas(model, variables, feats, interpret=False,
     stats = trunk_stats_pallas(variables, fcm_out, interpret=interpret,
                                packed=packed, tvalids=tvalids)
     head = DenseBN(model.embd_dim, config_str="batchnorm_", dtype=model.dtype)
+    # head input precision follows the MODEL dtype (not the FCM kernel's
+    # bf16 output dtype): fp32 models keep their fp32 stats head
+    head_dtype = model.dtype or jnp.float32
     return head.apply(
         {"params": variables["params"]["DenseBN_0"],
          "batch_stats": variables["batch_stats"]["DenseBN_0"]},
-        stats.astype(fcm_out.dtype), train=False)
+        stats.astype(head_dtype), train=False)
 
 
 def make_campplus_embed_fn(model, variables, interpret=False):
@@ -929,7 +932,7 @@ def make_campplus_eval_embed_fn(model, featurizer, interpret=False):
         return head.apply(
             {"params": variables["params"]["DenseBN_0"],
              "batch_stats": variables["batch_stats"]["DenseBN_0"]},
-            stats.astype(fcm_out.dtype), train=False)[:b]
+            stats.astype(model.dtype or jnp.float32), train=False)[:b]
 
     def call(variables, packed, waves, ratios):
         waves = np.asarray(waves)

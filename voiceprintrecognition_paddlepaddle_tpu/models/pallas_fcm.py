@@ -16,10 +16,16 @@ im2col matrix ``P (rows, 16*32=512)`` built by static shifted copies inside
 VMEM — and ONE ``(rows, 512) @ (512, 128)`` matmul with a block-sparse
 packed weight whose useful density is 9/16 = 56% (vs XLA's 25%), with all
 128 output lanes busy. Stride-2 convs read even/odd freq groups (20 taps,
-K=640, density 45%). The nine convolutions chain inside one kernel:
-activations and im2col patches never leave VMEM, BatchNorms fold into
-per-lane affines at pack time, and HBM traffic collapses to
-(features in) + (FCM output out) + weights-once.
+K=640, density 45%). All twelve convolutions (ten 3x3 + two stride-2
+1x1 shortcuts) chain inside one kernel: activations and im2col patches
+never leave VMEM, BatchNorms fold into per-lane affines at pack time, and
+HBM traffic collapses to (features in) + (FCM output out) + weights-once.
+
+Precision: like the packed trunk (``pack_trunk``), the kernel computes
+bf16 with fp32 accumulation regardless of ``model.dtype`` — the fast
+inference path is uniformly bf16 by design (round-2 precedent: the XLA
+FCM previously ran at model dtype NEXT TO the bf16 trunk kernel, so this
+makes the path more uniform, not less). fp32 packing exists for tests.
 
 Zero padding ('same' conv) falls out of the shift machinery: row shifts
 insert zeros at frequency edges, and a per-(time-group, parity) validity
@@ -51,11 +57,15 @@ _C = 32              # m_channels (reference campplus.py:249)
 # in one pass; longer buckets run the SAME kernel over overlapping
 # halo windows (see _fcm_call_chunked), making the length cap nominal.
 _CHUNK_T2P = 256
-# chunk geometry: 9 chained 3x3 convs have a +-9-frame receptive field
-# = +-5 time groups, so a 5-group halo per side gives exact continuity;
-# core 118 + halo 10 = 128 groups per window (sublane-aligned)
+# chunk geometry: TEN chained 3x3 convs run in time (conv0 + 2 per
+# BasicResBlock x 4 + final — the 1x1 shortcuts don't widen time), so
+# edge corruption reaches exactly +-10 frames = +-5 time groups: the
+# 5-group halo per side covers it EXACTLY, with zero frames of margin.
+# Core 118 + halo 10 = 128 groups per window (sublane-aligned).
+_N_TIME_CONVS = 10
 _HALO = 5
 _CORE = 118
+assert 2 * _HALO >= _N_TIME_CONVS
 FCM_MAX_FRAMES = 6000           # nominal (predict's 40 s bucket cap rules)
 
 
@@ -343,7 +353,9 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
     y = jnp.dot(p_s[0:m, 0:640], w11_ref[:], preferred_element_type=f32)
     y = jnp.maximum(aff(y, 11), 0.0)
     y = (y.reshape(5, t2p, 128) * maskv[None]).reshape(m3, 128)
-    out_ref[...] = y.reshape(out_ref.shape)
+    # store in the compute dtype: the only consumer casts to bf16 anyway,
+    # and this is the largest embed-path intermediate (f32 doubled it)
+    out_ref[...] = y.reshape(out_ref.shape).astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +394,7 @@ def _fcm_call(packed, x1, *, t, t2p, interpret):
           + [const(*packed["aff"].shape)],
         out_specs=pl.BlockSpec((m3, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * m3, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * m3, 128), cd),
         interpret=interpret,
         scratch_shapes=[
             pltpu.VMEM((m0, 128), cd),               # a_s  (F=80 stage)
@@ -405,8 +417,8 @@ def _fcm_call_chunked(packed, xw, *, t, n_c, interpret):
     absolute time groups [j*_CORE - _HALO, j*_CORE + _CORE + _HALO); only
     the _CORE central groups are kept, so the zero fill the shift
     machinery injects at window edges never reaches a kept output (the
-    9-conv receptive field is +-5 groups = the halo). Per-window VMEM is
-    constant, so any bucket length runs."""
+    10 time convs corrupt exactly +-5 groups = the halo, no margin).
+    Per-window VMEM is constant, so any bucket length runs."""
     b = xw.shape[0]
     cd = packed["w1"].dtype
     gp = _CORE + 2 * _HALO
@@ -435,7 +447,7 @@ def _fcm_call_chunked(packed, xw, *, t, n_c, interpret):
           + [const(*packed["aff"].shape)],
         out_specs=pl.BlockSpec((1, 1, m3, 128), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_c, m3, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_c, m3, 128), cd),
         interpret=interpret,
         scratch_shapes=[
             pltpu.VMEM((FG0 * gp, 128), cd),
