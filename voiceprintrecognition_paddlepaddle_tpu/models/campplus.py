@@ -7,6 +7,7 @@ stats pooling (mean ‖ unbiased std) and a dense embedding layer.
 Layouts: FCM runs NHWC (B, F, T, C); the x-vector trunk runs (B, T, C).
 """
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -16,6 +17,40 @@ import jax.numpy as jnp
 from .layers import DenseBN
 
 __all__ = ["CAMPPlus"]
+
+# FCM train-path conv dispatch (models/pallas_conv2d.py); VPR_SDCONV=0
+# forces the lax convolutions everywhere
+_SDCONV = os.environ.get("VPR_SDCONV", "1") != "0"
+
+
+class SDConv(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), strides=(stride, 1),
+    padding=((1, 1), (1, 1)))`` on NHWC ``(B, F, T, C)``: dispatches to
+    the space-to-depth Pallas conv (custom VJP, ~2x useful MXU occupancy
+    vs XLA's Cout 32->128 padding) on TPU for supported shapes, else
+    ``lax.conv``. Same param tree and initializers as ``nn.Conv`` —
+    checkpoint compatible."""
+    features: int
+    stride: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if _SDCONV and jax.default_backend() == "tpu":
+            from .pallas_conv2d import conv2d_sd, sd_supported
+            if (sd_supported(x.shape, self.stride)
+                    and self.features == x.shape[-1]):
+                return conv2d_sd(x, kernel, bias, self.stride)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (self.stride, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
 
 
 class _NonLinear(nn.Module):
@@ -168,16 +203,16 @@ class BasicResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                   epsilon=1e-5, dtype=self.dtype)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, 1),
-                      padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
+        # explicit names keep the nn.Conv-era param tree (Conv_0/1/2)
+        out = SDConv(self.planes, stride=self.stride, dtype=self.dtype,
+                     name="Conv_0")(x)
         out = nn.relu(bn()(out))
-        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                      dtype=self.dtype)(out)
+        out = SDConv(self.planes, dtype=self.dtype, name="Conv_1")(out)
         out = bn()(out)
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.planes:
             shortcut = nn.Conv(self.planes, (1, 1), strides=(self.stride, 1),
-                               dtype=self.dtype)(x)
+                               dtype=self.dtype, name="Conv_2")(x)
             shortcut = bn()(shortcut)
         return nn.relu(out + shortcut)
 
@@ -202,9 +237,8 @@ class FCM(nn.Module):
         out = BasicResBlock(self.m_channels, stride=1, dtype=self.dtype)(out, train)
         out = BasicResBlock(self.m_channels, stride=2, dtype=self.dtype)(out, train)
         out = BasicResBlock(self.m_channels, stride=1, dtype=self.dtype)(out, train)
-        out = nn.relu(bn()(nn.Conv(self.m_channels, (3, 3), strides=(2, 1),
-                                   padding=((1, 1), (1, 1)),
-                                   dtype=self.dtype)(out)))
+        out = nn.relu(bn()(SDConv(self.m_channels, stride=2,
+                                  dtype=self.dtype, name="Conv_1")(out)))
         b, f, t, c = out.shape
         # (B, F', T, C) -> (B, T, F'*C)
         return out.transpose(0, 2, 1, 3).reshape(b, t, f * c)
