@@ -42,7 +42,12 @@ class SDConv(nn.Module):
                           (self.features,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        if _SDCONV and jax.default_backend() == "tpu":
+        # single-device TPU only: GSPMD has no partitioning rule for
+        # Mosaic custom calls, so under a >1-device mesh the op would
+        # force replication/all-gathers instead of staying data-parallel
+        # (a shard_map wrapper is the future multi-chip path, ROADMAP.md)
+        if (_SDCONV and jax.default_backend() == "tpu"
+                and jax.device_count() == 1):
             from .pallas_conv2d import conv2d_sd, sd_supported
             if (sd_supported(x.shape, self.stride)
                     and self.features == x.shape[-1]):
