@@ -73,6 +73,43 @@ def test_supported_gate():
     assert not sd_supported((4, "b", 298, 32), 1)    # symbolic dim
 
 
+def test_fcm_train_step_integration(monkeypatch):
+    """Whole FCM in train mode: SDConv's Pallas op (interpret) inside the
+    real flax graph — BN batch stats, residuals, promote_dtype, custom
+    VJP — matches the lax path's loss and every parameter gradient."""
+    from voiceprintrecognition_paddlepaddle_tpu.models import campplus
+
+    fcm = campplus.FCM()
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 48, 80).astype(np.float32))
+    v = fcm.init(jax.random.PRNGKey(0), feats, train=True)
+
+    def loss_fn(params):
+        out, mut = fcm.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            feats, train=True, mutable=["batch_stats"])
+        return (out * out).mean(), mut
+
+    monkeypatch.setattr(campplus, "_SDCONV", "0")
+    (l_ref, mut_ref), g_ref = jax.value_and_grad(
+        loss_fn, has_aux=True)(v["params"])
+    monkeypatch.setattr(campplus, "_SDCONV", "force-interpret")
+    (l_pal, mut_pal), g_pal = jax.value_and_grad(
+        loss_fn, has_aux=True)(v["params"])
+
+    assert abs(float(l_ref) - float(l_pal)) < 1e-5 * max(1, abs(float(l_ref)))
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = jax.tree_util.tree_leaves(g_pal)
+    assert len(flat_r) == len(flat_p)
+    for (path, r), p in zip(flat_r, flat_p):
+        scale = max(1.0, float(jnp.abs(r).max()))
+        assert float(jnp.abs(r - p).max()) < 5e-4 * scale, path
+    # running batch stats update identically
+    for r, p in zip(jax.tree_util.tree_leaves(mut_ref),
+                    jax.tree_util.tree_leaves(mut_pal)):
+        assert float(jnp.abs(r - p).max()) < 1e-4
+
+
 def test_fcm_param_tree_unchanged():
     """SDConv keeps the nn.Conv-era param paths (Conv_0/1/2 with
     kernel+bias) so existing msgpack/Orbax checkpoints load."""

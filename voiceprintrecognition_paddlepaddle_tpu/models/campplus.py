@@ -18,9 +18,11 @@ from .layers import DenseBN
 
 __all__ = ["CAMPPlus"]
 
-# FCM train-path conv dispatch (models/pallas_conv2d.py); VPR_SDCONV=0
-# forces the lax convolutions everywhere
-_SDCONV = os.environ.get("VPR_SDCONV", "1") != "0"
+# FCM train-path conv dispatch (models/pallas_conv2d.py): "1" (default)
+# uses the Pallas op on single-device TPU, "0" forces lax everywhere,
+# "force-interpret" runs the op in interpret mode on any backend (CPU
+# integration tests)
+_SDCONV = os.environ.get("VPR_SDCONV", "1")
 
 
 class SDConv(nn.Module):
@@ -46,12 +48,13 @@ class SDConv(nn.Module):
         # Mosaic custom calls, so under a >1-device mesh the op would
         # force replication/all-gathers instead of staying data-parallel
         # (a shard_map wrapper is the future multi-chip path, ROADMAP.md)
-        if (_SDCONV and jax.default_backend() == "tpu"
-                and jax.device_count() == 1):
+        interp = _SDCONV == "force-interpret"
+        if interp or (_SDCONV != "0" and jax.default_backend() == "tpu"
+                      and jax.device_count() == 1):
             from .pallas_conv2d import conv2d_sd, sd_supported
             if (sd_supported(x.shape, self.stride)
                     and self.features == x.shape[-1]):
-                return conv2d_sd(x, kernel, bias, self.stride)
+                return conv2d_sd(x, kernel, bias, self.stride, interp)
         y = jax.lax.conv_general_dilated(
             x, kernel, (self.stride, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
