@@ -360,16 +360,26 @@ class Predictor:
             # u=1 = ~40 s buckets); rarer longer audio stays on XLA
             fast_ok = (self._embed_fast is not None
                        and max_len <= self._FAST_PATH_MAX_SAMPLES)
-            if fast_ok and bool(np.all(ratios_valid == 1.0)):
-                # exact-length batch (e.g. equal diarization chunks):
-                # whole-trunk Pallas kernel, no padding mask needed
-                emb = self._embed_fast(jnp.asarray(waves))
-            elif fast_ok:
-                # padded bucket: per-utterance pooling weights/masks are
-                # kernel inputs — same compiled program for any mix of
-                # lengths within the bucket
-                emb = self._embed_fast_masked(waves, ratios)
-            else:
+            emb = None
+            if fast_ok:
+                try:
+                    if bool(np.all(ratios_valid == 1.0)):
+                        # exact-length batch (e.g. equal diarization
+                        # chunks): Pallas kernels, no padding mask needed
+                        emb = self._embed_fast(jnp.asarray(waves))
+                    else:
+                        # padded bucket: per-utterance pooling weights /
+                        # masks are kernel inputs — same compiled program
+                        # for any mix of lengths within the bucket
+                        emb = self._embed_fast_masked(waves, ratios)
+                except Exception as e:  # pragma: no cover - device-only
+                    # a kernel that fails to compile/run on this part must
+                    # not take serving down — disable and fall back to XLA
+                    logger.warning(
+                        f"Pallas fast path failed ({e!r}); falling back "
+                        "to the XLA embed path for this process")
+                    self._embed_fast = None
+            if emb is None:
                 emb = self._jit_embed(jnp.asarray(waves),
                                       jnp.asarray(ratios))
             features.append(np.asarray(emb)[:b_real])

@@ -782,10 +782,17 @@ class Trainer:
                 break
             b = data.shape[0]
             if fast is not None and kind == "waveforms":
-                emb = fast(np.asarray(data), np.asarray(lens))
-                feats.append(np.asarray(emb))
-                labels.append(np.asarray(y))
-                continue
+                try:
+                    emb = fast(np.asarray(data), np.asarray(lens))
+                    feats.append(np.asarray(emb))
+                    labels.append(np.asarray(y))
+                    continue
+                except Exception as e:  # pragma: no cover - device-only
+                    # a kernel that fails on this part must not take the
+                    # per-epoch eval down — disable and use the XLA path
+                    logger.warning(f"Pallas eval path failed ({e!r}); "
+                                   "falling back to XLA")
+                    fast = None
             pad = (-b) % n_dev
             if pad:
                 data = np.concatenate(
