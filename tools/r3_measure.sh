@@ -1,0 +1,18 @@
+#!/bin/bash
+# One-shot round-3 device measurement sweep (run serially on the chip —
+# never share the TPU between processes; see ROADMAP methodology notes).
+#
+#   bash tools/r3_measure.sh 2>&1 | tee /tmp/r3_measure.log
+set -x
+cd "$(dirname "$0")/.."
+
+# 1. FCM kernel vs XLA FCM: hot path (b256 x 3 s) + chunked long bucket
+timeout 2400 python tools/fcm_kernel_bench.py 256 3 50
+timeout 2400 python tools/fcm_kernel_bench.py 16 20 20
+
+# 2. CAM++ train step: SDConv Pallas convs vs lax (bf16 AMP b256)
+VPR_SDCONV=0 timeout 2400 python tools/train_bench.py CAMPPlus 256 1
+VPR_SDCONV=1 timeout 2400 python tools/train_bench.py CAMPPlus 256 1
+
+# 3. the driver benchmark (also warms .jax_cache for the round-end run)
+timeout 3600 python bench.py

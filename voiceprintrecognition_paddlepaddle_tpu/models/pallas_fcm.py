@@ -95,14 +95,26 @@ def _tap_src(qf, qt, stride):
     return src, fo, to, pf * 2 + pt
 
 
+def _is_center(qf, qt, stride):
+    """True for taps read at zero shift — the (source, shift=0) groups
+    cover all four lane blocks contiguously, so the kernel multiplies
+    them straight from the (even/odd) activation array instead of
+    copying them into the im2col patch."""
+    src, fo, to, _ = _tap_src(qf, qt, stride)
+    return fo == 0 and to == 0
+
+
 def _taps(stride):
     """Tap list (q_f, q_t) for one packed 2x2 output group: input position
     = 2*stride*fg + q_f (freq), 2*tg + q_t (time). Ordered so taps
     sharing a (source, shift) land in consecutive slots with ascending
-    source lane blocks — adjacent copies then merge into one wide move."""
+    source lane blocks (adjacent copies merge into one wide move), with
+    the zero-shift 'center' groups packed LAST so the weight's tail rows
+    line up with direct matmuls from the activation arrays."""
     qfs = (-1, 0, 1, 2) if stride == 1 else (-1, 0, 1, 2, 3)
     base = [(qf, qt) for qf in qfs for qt in (-1, 0, 1, 2)]
-    return sorted(base, key=lambda t: _tap_src(*t, stride))
+    return sorted(base, key=lambda t: (_is_center(*t, stride),)
+                  + _tap_src(*t, stride))
 
 
 def _copy_plan(stride):
@@ -121,10 +133,20 @@ def _copy_plan(stride):
     return [tuple(e) for e in plan]
 
 
-_TAPS1 = _taps(1)    # 16 taps, K = 512
-_TAPS2 = _taps(2)    # 20 taps, K = 640
-_PLAN1 = _copy_plan(1)   # 11 merged copies
-_PLAN2 = _copy_plan(2)   # 13 merged copies
+_TAPS1 = _taps(1)    # 16 taps, K = 512 (last 4 = zero-shift center)
+_TAPS2 = _taps(2)    # 20 taps, K = 640 (last 8 = E then O zero-shift)
+_PLAN1 = _copy_plan(1)   # merged copies incl. center
+_PLAN2 = _copy_plan(2)
+# non-center copy plans for the fused kernel's split matmuls: K rows
+# [0:384] come from shifted copies, the tail from direct matmuls
+_PLAN1_NC = [e for e in _PLAN1 if e[0] < 12]
+_PLAN2_NC = [e for e in _PLAN2 if e[0] < 12]
+assert all(e[0] + e[1] <= 12 for e in _PLAN1_NC)
+assert all(e[0] + e[1] <= 12 for e in _PLAN2_NC)
+# sanity: the tails are exactly the zero-shift full-lane runs
+assert [e for e in _PLAN1 if e[0] >= 12] == [(12, 4, 0, 0, 0, 0)]
+assert [e for e in _PLAN2 if e[0] >= 12] == [(12, 4, 0, 0, 0, 0),
+                                             (16, 4, 1, 0, 0, 0)]
 
 
 # ---------------------------------------------------------------------------
@@ -258,26 +280,35 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
             pref[-s:m, d0:d0 + width] = src[0:m + s, l0:l0 + width]
             pref[0:-s, d0:d0 + width] = jnp.zeros((-s, width), cd)
 
-    def patch_s1(x, fg):
-        """im2col for a stride-1 3x3 conv from the packed array ``x``
-        ((fg*t2p, 128) value) into p_s[:fg*t2p, :512]."""
+    def conv_s1(x, fg, w_ref):
+        """Stride-1 3x3 conv from the packed array ``x`` ((fg*t2p, 128)
+        value): 12 shifted taps via the im2col patch + the zero-shift
+        center group as a direct matmul (no copy)."""
         m = fg * t2p
-        for d0, n, _, fo, to, b0 in _PLAN1:
+        for d0, n, _, fo, to, b0 in _PLAN1_NC:
             copy(p_s, d0 * 32, n * 32, fo * t2p + to, x, b0 * 32, m)
-        return m
+        return (jnp.dot(p_s[0:m, 0:384], w_ref[0:384, :],
+                        preferred_element_type=f32)
+                + jnp.dot(x, w_ref[384:512, :],
+                          preferred_element_type=f32))
 
     def deint(x, fg):
         """Even/odd freq-group split of a (fg*t2p, 128) value."""
         x3 = x.reshape(fg // 2, 2, t2p, 128)
         return (x3[:, 0].reshape(-1, 128), x3[:, 1].reshape(-1, 128))
 
-    def patch_s2(e, o, fgo):
-        """im2col for a freq-stride-2 3x3 conv into p_s[:fgo*t2p, :640]."""
+    def conv_s2(e, o, fgo, w_ref):
+        """Freq-stride-2 3x3 conv: 12 shifted taps via the patch + the
+        even/odd zero-shift groups as direct matmuls."""
         m = fgo * t2p
-        for d0, n, src, fo, to, b0 in _PLAN2:
+        for d0, n, src, fo, to, b0 in _PLAN2_NC:
             copy(p_s, d0 * 32, n * 32, fo * t2p + to, (e, o)[src],
                  b0 * 32, m)
-        return m
+        return (jnp.dot(p_s[0:m, 0:384], w_ref[0:384, :],
+                        preferred_element_type=f32)
+                + jnp.dot(e, w_ref[384:512, :], preferred_element_type=f32)
+                + jnp.dot(o, w_ref[512:640, :],
+                          preferred_element_type=f32))
 
     def patch_sc(e, o, fgo):
         """Patch for the stride-(2,1) 1x1 shortcut conv: output (pfo, pto)
@@ -306,51 +337,40 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
     # ---- BasicResBlock_0 (stride 2): F 80 -> 40 ----
     xa = a_s[:]
     e, o = deint(xa, FG0)
-    m = patch_s2(e, o, 20)
-    y1 = jnp.dot(p_s[0:m, 0:640], w1_ref[:], preferred_element_type=f32)
-    store(b_s, aff(y1, 1), 20)
+    m = 20 * t2p
+    store(b_s, aff(conv_s2(e, o, 20, w1_ref), 1), 20)
     xb = b_s[:]
-    patch_s1(xb, 20)
-    y2 = jnp.dot(p_s[0:m, 0:512], w2_ref[:], preferred_element_type=f32)
+    y2 = conv_s1(xb, 20, w2_ref)
     patch_sc(e, o, 20)
     sc = jnp.dot(psc_s[0:m], w3_ref[:], preferred_element_type=f32)
     store(b_s, aff(y2, 2) + aff(sc, 3), 20)
 
     # ---- BasicResBlock_1 (identity) at F=40 ----
     xb = b_s[:]
-    m = patch_s1(xb, 20)
-    y1 = jnp.dot(p_s[0:m, 0:512], w4_ref[:], preferred_element_type=f32)
-    store(c_s, aff(y1, 4), 20)
-    patch_s1(c_s[:], 20)
-    y2 = jnp.dot(p_s[0:m, 0:512], w5_ref[:], preferred_element_type=f32)
+    store(c_s, aff(conv_s1(xb, 20, w4_ref), 4), 20)
+    y2 = conv_s1(c_s[:], 20, w5_ref)
     store(b_s, aff(y2, 5) + xb.astype(f32), 20)
 
     # ---- BasicResBlock_2 (stride 2): F 40 -> 20 ----
     xb = b_s[:]
     e, o = deint(xb, 20)
-    m = patch_s2(e, o, 10)
-    y1 = jnp.dot(p_s[0:m, 0:640], w6_ref[:], preferred_element_type=f32)
-    store(d_s, aff(y1, 6), 10)
-    patch_s1(d_s[0:m2, :], 10)
-    y2 = jnp.dot(p_s[0:m, 0:512], w7_ref[:], preferred_element_type=f32)
+    m = 10 * t2p
+    store(d_s, aff(conv_s2(e, o, 10, w6_ref), 6), 10)
+    y2 = conv_s1(d_s[0:m2, :], 10, w7_ref)
     patch_sc(e, o, 10)
     sc = jnp.dot(psc_s[0:m], w8_ref[:], preferred_element_type=f32)
     store(d_s, aff(y2, 7) + aff(sc, 8), 10)
 
     # ---- BasicResBlock_3 (identity) at F=20 ----
     xd = d_s[0:m2, :]
-    m = patch_s1(xd, 10)
-    y1 = jnp.dot(p_s[0:m, 0:512], w9_ref[:], preferred_element_type=f32)
-    store(c_s, aff(y1, 9), 10)                       # c_s rows [0:m2] reused
-    patch_s1(c_s[0:m2, :], 10)
-    y2 = jnp.dot(p_s[0:m, 0:512], w10_ref[:], preferred_element_type=f32)
+    store(c_s, aff(conv_s1(xd, 10, w9_ref), 9), 10)  # c_s rows [0:m2] reused
+    y2 = conv_s1(c_s[0:m2, :], 10, w10_ref)
     store(d_s, aff(y2, 10) + xd.astype(f32), 10)
 
     # ---- final conv (stride 2): F 20 -> 10 ----
     xd = d_s[0:m2, :]
     e, o = deint(xd, 10)
-    m = patch_s2(e, o, 5)
-    y = jnp.dot(p_s[0:m, 0:640], w11_ref[:], preferred_element_type=f32)
+    y = conv_s2(e, o, 5, w11_ref)
     y = jnp.maximum(aff(y, 11), 0.0)
     y = (y.reshape(5, t2p, 128) * maskv[None]).reshape(m3, 128)
     # store in the compute dtype: the only consumer casts to bf16 anyway,
