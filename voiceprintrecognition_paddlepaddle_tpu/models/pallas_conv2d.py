@@ -35,8 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fcm import (_PLAN1, _PLAN2, _pack_conv3x3, _round_up, _split,
-                         _taps)
+from .pallas_fcm import (_PLAN1_NC, _PLAN2_NC, _pack_conv3x3, _round_up,
+                         _split, _taps)
 
 __all__ = ["conv2d_sd", "sd_supported"]
 
@@ -80,20 +80,25 @@ def _mk_copy(cd):
 
 
 def _build_s1(copy, p_s, x, fg, t2p):
+    """Shifted (non-center) taps into p_s[:, :384]; the zero-shift center
+    group rides a direct matmul against W rows [384:512] (``_taps`` packs
+    it last). Returns (rows, center operand list)."""
     m = fg * t2p
-    for d0, n, _, fo, to, b0 in _PLAN1:
+    for d0, n, _, fo, to, b0 in _PLAN1_NC:
         copy(p_s, d0 * 32, n * 32, fo * t2p + to, x, b0 * 32, m)
-    return m
+    return m, [x]
 
 
 def _build_s2(copy, p_s, x3, fg_in, t2p):
+    """Stride-2 variant: center groups are the even AND odd zero-shift
+    reads (W rows [384:512] and [512:640])."""
     x3 = x3.reshape(fg_in // 2, 2, t2p, 128)
     e = x3[:, 0].reshape(-1, 128)
     o = x3[:, 1].reshape(-1, 128)
     m = (fg_in // 2) * t2p
-    for d0, n, src, fo, to, b0 in _PLAN2:
+    for d0, n, src, fo, to, b0 in _PLAN2_NC:
         copy(p_s, d0 * 32, n * 32, fo * t2p + to, (e, o)[src], b0 * 32, m)
-    return m
+    return m, [e, o]
 
 
 # ---------------------------------------------------------------------------
@@ -103,12 +108,13 @@ def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, p_s, *, t2p, fg_in, stride,
                 cd):
     copy = _mk_copy(cd)
     x = x_ref[0].reshape(fg_in * t2p, 128)
-    if stride == 1:
-        m, k = _build_s1(copy, p_s, x, fg_in, t2p), 512
-    else:
-        m, k = _build_s2(copy, p_s, x, fg_in, t2p), 640
-    y = jnp.dot(p_s[0:m, 0:k], w_ref[:],
+    build = _build_s1 if stride == 1 else _build_s2
+    m, centers = build(copy, p_s, x, fg_in, t2p)
+    y = jnp.dot(p_s[0:m, 0:384], w_ref[0:384, :],
                 preferred_element_type=jnp.float32)
+    for i, c in enumerate(centers):
+        y = y + jnp.dot(c, w_ref[384 + i * 128:512 + i * 128, :],
+                        preferred_element_type=jnp.float32)
     out_ref[...] = (y + b_ref[:]).astype(cd).reshape(out_ref.shape)
 
 
@@ -117,7 +123,6 @@ def _fwd_call(xs, wp, bias_lane, *, stride, t, interpret):
     b, fg_in, t2p, _ = xs.shape
     cd = xs.dtype
     fg_out = fg_in // stride
-    k = 512 if stride == 1 else 640
     kernel = functools.partial(_fwd_kernel, t2p=t2p, fg_in=fg_in,
                                stride=stride, cd=cd)
     out = pl.pallas_call(
@@ -136,7 +141,7 @@ def _fwd_call(xs, wp, bias_lane, *, stride, t, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, fg_out, t2p, 128), cd),
         interpret=interpret,
-        scratch_shapes=[pltpu.VMEM((fg_out * t2p, k), cd)],
+        scratch_shapes=[pltpu.VMEM((fg_out * t2p, 384), cd)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(xs, wp, bias_lane)
@@ -245,14 +250,18 @@ def _dgrad2_call(dys, we, wo, *, interpret):
 def _wgrad_kernel(x_ref, dy_ref, out_ref, p_s, *, t2p, fg_in, stride, cd):
     copy = _mk_copy(cd)
     x = x_ref[0].reshape(fg_in * t2p, 128)
-    if stride == 1:
-        m, k = _build_s1(copy, p_s, x, fg_in, t2p), 512
-    else:
-        m, k = _build_s2(copy, p_s, x, fg_in, t2p), 640
+    build = _build_s1 if stride == 1 else _build_s2
+    m, centers = build(copy, p_s, x, fg_in, t2p)
     dy = dy_ref[0].reshape(m, 128)
-    # contraction over positions: (K, m) @ (m, 128)
-    dwp = jax.lax.dot_general(p_s[0:m, 0:k], dy, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    # contraction over positions: (K, m) @ (m, 128); the center rows come
+    # straight from the activation arrays (no patch copy)
+    parts = [jax.lax.dot_general(p_s[0:m, 0:384], dy,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)]
+    for c in centers:
+        parts.append(jax.lax.dot_general(c, dy, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32))
+    dwp = jnp.concatenate(parts, axis=0)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -284,7 +293,7 @@ def _wgrad_call(xs, dys, *, stride, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, 128), jnp.float32),
         interpret=interpret,
-        scratch_shapes=[pltpu.VMEM((fg_out * t2p, k), cd)],
+        scratch_shapes=[pltpu.VMEM((fg_out * t2p, 384), cd)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(xs, dys)
