@@ -153,3 +153,31 @@ def test_looped_variant_masked_long_clip(model_and_vars):
         cos = float((ref[0] * got[i]).sum()
                     / (np.linalg.norm(ref[0]) * np.linalg.norm(got[i])))
         assert cos > 0.999, (i, cos)
+
+
+def test_masked_embed_fn_full_path(model_and_vars):
+    """The Trainer.evaluate()/serving masked closure end-to-end on CPU
+    interpret: waveforms -> featurizer -> FCM kernel -> masked trunk
+    kernel -> head, per-utterance ratios, vs the XLA model with the same
+    features and lengths."""
+    from voiceprintrecognition_paddlepaddle_tpu.models.pallas_campplus \
+        import make_campplus_masked_embed_fn
+    from voiceprintrecognition_paddlepaddle_tpu.ops.features import \
+        AudioFeaturizer
+
+    model, variables = model_and_vars
+    feat = AudioFeaturizer(feature_method="Fbank",
+                           method_args={"sr": 16000, "n_mels": 80})
+    fn = make_campplus_masked_embed_fn(model, variables, feat,
+                                       interpret=True)
+    rng = np.random.RandomState(7)
+    waves = (rng.randn(3, 32000) * 0.05).astype(np.float32)
+    ratios = np.asarray([1.0, 0.75, 0.4], np.float32)
+    for i, r in enumerate(ratios):
+        waves[i, int(r * 32000):] = 0.0
+    got = np.asarray(fn(waves, ratios))
+
+    feats = feat.featurize(jnp.asarray(waves), input_lens_ratio=ratios)
+    ref = np.asarray(model.apply(variables, feats, train=False,
+                                 lengths=jnp.asarray(ratios)))
+    assert _cos(ref, got) > 0.999
