@@ -175,3 +175,41 @@ def test_orbax_roundtrip(tmp_path):
     assert last_epoch == 2 and best_eer == 0.2
     assert float(state.params["backbone"]["w"][0, 0]) == 3.25
     assert int(state.step) == 7
+
+
+def test_orbax_sharded_state_roundtrip(tmp_path):
+    """Round-2 gap: sharded checkpointing for large multi-host runs. A
+    pytree of jax.Arrays holding BOTH a replicated and a batch-sharded
+    array over the 8-device mesh survives an Orbax save/restore with
+    values AND shardings intact (StandardCheckpointer records per-shard
+    layout; restore targets reimpose the shardings)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from voiceprintrecognition_paddlepaddle_tpu.utils.checkpoint import (
+        load_orbax, save_orbax)
+
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("dp",))
+    repl = NamedSharding(mesh, P())
+    shrd = NamedSharding(mesh, P("dp"))
+    tree = {
+        "params": jax.device_put(
+            jnp.arange(128, dtype=jnp.float32).reshape(8, 16), repl),
+        "moments": jax.device_put(
+            jnp.arange(256, dtype=jnp.float32).reshape(16, 16), shrd),
+    }
+    path = os.path.join(str(tmp_path), "sharded.orbax")
+    save_orbax(tree, path)
+
+    target = {
+        "params": jax.device_put(jnp.zeros((8, 16), jnp.float32), repl),
+        "moments": jax.device_put(jnp.zeros((16, 16), jnp.float32), shrd),
+    }
+    got = load_orbax(target, path)
+    np.testing.assert_array_equal(np.asarray(got["params"]),
+                                  np.asarray(tree["params"]))
+    np.testing.assert_array_equal(np.asarray(got["moments"]),
+                                  np.asarray(tree["moments"]))
+    assert got["moments"].sharding.is_equivalent_to(shrd, 2)
+    assert got["params"].sharding.is_equivalent_to(repl, 2)
