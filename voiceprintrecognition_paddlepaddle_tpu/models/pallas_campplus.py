@@ -99,6 +99,12 @@ def _fcm_forward(model, variables, feats, interpret, packed_fcm=None):
 # group ceiling (see _kernel_looped)
 _RANGE = 8
 
+# uniform-bucket CAM gating (unrolled kernel): compute segment pooling /
+# gate scatter with static reshape reductions instead of the pt/ssel
+# matmuls when every utterance has the same valid length (the
+# exact-length serving hot path). VPR_TRUNK_UNIFORM_GATES=0 disables.
+_UNIFORM_GATES = os.environ.get("VPR_TRUNK_UNIFORM_GATES", "1") != "0"
+
 
 def _use_looped(t_pad):
     if _VARIANT == "looped":
@@ -294,7 +300,7 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
             w_cam1T_ref, w_cam2T_ref, w_t0_ref, w_t1_ref, w_t2_ref,
             wide_a_ref, wide_b_ref, tbias_ref, narrow_ref, cam_bias_ref,
             pt_ref, msel_ref, ssel_ref, mask_ref, out_ref, xcat_ref, *,
-            plan, u, t_pad, compute_dtype):
+            plan, u, t_pad, compute_dtype, uniform_tv=None):
     f32 = jnp.float32
     growth, bn_ch = plan["growth"], plan["bn_ch"]
     L = plan["n_layers"]
@@ -378,11 +384,27 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
             if _ABLATE == "nocam":
                 gate = 1.0
             else:
-                # context: pooled means/segments -> tiny gate matmuls
-                pooled = jnp.dot(pt, x2.astype(f32),
-                                 preferred_element_type=f32)  # (P_pad, bn)
-                ctx = jnp.dot(msel, pooled,
-                              preferred_element_type=f32)     # (G_pad, bn)
+                if uniform_tv is None:
+                    # ragged bucket: pooled means/segments via the
+                    # data-driven pooling matrices
+                    pooled = jnp.dot(pt, x2.astype(f32),
+                                     preferred_element_type=f32)
+                    ctx = jnp.dot(msel, pooled,
+                                  preferred_element_type=f32)  # (G_pad, bn)
+                else:
+                    # uniform bucket (the exact-length serving hot path):
+                    # segment pooling as STATIC reshape reductions — the
+                    # pt matmul is ~1/3 of the 52-layer gate-chain cost
+                    x3 = x2.astype(f32).reshape(u, t_pad, bn_ch)
+                    mean = x3[:, :uniform_tv].sum(1) * (1.0 / uniform_tv)
+                    n_seg_u = -(-uniform_tv // SEG_LEN)
+                    segs = []
+                    for s in range(n_seg_u):
+                        s0 = s * SEG_LEN
+                        s1 = min((s + 1) * SEG_LEN, uniform_tv)
+                        segs.append(x3[:, s0:s1].sum(1) * (1.0 / (s1 - s0))
+                                    + mean)
+                    ctx = jnp.stack(segs, 1).reshape(u * n_seg_u, bn_ch)
                 c1 = dotT(ctx.astype(compute_dtype),
                           w_cam1T_ref[l * (bn_ch // 2):
                                       (l + 1) * (bn_ch // 2)])
@@ -394,8 +416,22 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
                          w_cam2T_ref[l * growth:(l + 1) * growth])
                 g = jax.nn.sigmoid(
                     g + cam_bias_ref[l:l + 1, growth:2 * growth])
-                gate = jnp.dot(ssel, g.astype(compute_dtype),
-                               preferred_element_type=f32)    # (rows, g)
+                if uniform_tv is None:
+                    gate = jnp.dot(ssel, g.astype(compute_dtype),
+                                   preferred_element_type=f32)  # (rows, g)
+                else:
+                    # scatter back: each segment's gate repeats over its
+                    # SEG_LEN frames (out is masked past tv, so the tail
+                    # values are don't-cares)
+                    g3 = jnp.broadcast_to(
+                        g.reshape(u, n_seg_u, 1, growth),
+                        (u, n_seg_u, SEG_LEN, growth)).reshape(
+                            u, n_seg_u * SEG_LEN, growth)
+                    if n_seg_u * SEG_LEN < t_pad:
+                        g3 = jnp.pad(
+                            g3, ((0, 0), (0, t_pad - n_seg_u * SEG_LEN),
+                                 (0, 0)))
+                    gate = g3[:, :t_pad].reshape(rows, growth)
 
             out = (y * gate * mask).astype(compute_dtype)
             c0 = plan["blocks"][b]["c_in"]
@@ -683,14 +719,15 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
 @functools.partial(jax.jit, static_argnames=("plan_key", "interpret"))
 def _trunk_call(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
                 interpret):
-    (t_pad, u) = plan_key
+    (t_pad, u, uniform_tv) = plan_key
     plan = trunk_plan()
     rows = u * t_pad
     grid = (xe.shape[0] // rows,)
     cf = plan["final_channels"]
 
     kernel = functools.partial(
-        _kernel, plan=plan, u=u, t_pad=t_pad, compute_dtype=jnp.bfloat16)
+        _kernel, plan=plan, u=u, t_pad=t_pad, compute_dtype=jnp.bfloat16,
+        uniform_tv=uniform_tv)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
@@ -798,11 +835,14 @@ def trunk_geometry(t_raw, u=None):
 
 
 def trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask, corr,
-                           t_pad, u, interpret=False):
+                           t_pad, u, interpret=False, uniform_tv=None):
     """Jit-friendly core: pooling matrices / mask / std-correction are
     traced ARGUMENTS, so mixed-length bucketed batches reuse one compiled
     program. ``fcm_out`` must already be batch-padded to a multiple of
-    ``u``; returns padded ``(B_pad, 2*cf)`` stats."""
+    ``u``; returns padded ``(B_pad, 2*cf)`` stats. ``uniform_tv``
+    (static): every utterance exactly this many valid trunk frames —
+    the unrolled kernel then computes the CAM context with static
+    reshape reductions instead of the pooling matmuls."""
     plan = trunk_plan()
     b_pad, t_raw, c_in = fcm_out.shape
     t_valid = (t_raw + 2 * 2 - 5) // 2 + 1
@@ -818,10 +858,12 @@ def trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask, corr,
     if "w_lin1g" in packed and ("w_lin1" not in packed
                                 or _use_looped(t_pad)):
         call = _trunk_call_looped
+        key = (t_pad, u)
     else:
         call = _trunk_call
+        key = (t_pad, u, uniform_tv if _UNIFORM_GATES else None)
     out = call(packed, xe, xo, pt, msel, ssel, mask,
-               plan_key=(t_pad, u), interpret=interpret)
+               plan_key=key, interpret=interpret)
     cf = plan["final_channels"]
     return jnp.concatenate([out[:, :cf], out[:, cf:] * corr[:, None]], -1)
 
@@ -851,15 +893,18 @@ def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None,
 
     if tvalids is None:
         tv_list = [t_valid] * b_pad
+        uniform_tv = t_valid
     else:
         tv_list = [max(1, min(int(t), t_valid)) for t in tvalids]
         tv_list += [t_valid] * (b_pad - b)
+        uniform_tv = None
     pt, msel, ssel, mask = (jnp.asarray(m) for m in
                             _pool_matrices(tv_list, t_pad, u, n_segs))
     corr = jnp.sqrt(jnp.asarray(
         [tv / max(tv - 1, 1) for tv in tv_list], jnp.float32))
     out = trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask,
-                                 corr, t_pad, u, interpret=interpret)
+                                 corr, t_pad, u, interpret=interpret,
+                                 uniform_tv=uniform_tv)
     return out[:b]
 
 
