@@ -468,7 +468,8 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                    w_cam1T_ref, w_cam2T_ref, w_t0_ref, w_t1_ref, w_t2_ref,
                    wide_a_ref, wide_b_ref, tbias_ref, narrow_ref,
                    cam_bias_ref, pt_ref, msel_ref, ssel_ref, mask_ref,
-                   out_ref, xcat_ref, *, plan, u, t_pad, compute_dtype):
+                   out_ref, xcat_ref, *, plan, u, t_pad, compute_dtype,
+                   uniform_tv=None):
     """The whole CAM++ trunk with the 52 CAM layers as three per-block
     ``fori_loop``s (one traced body per block) over a channel-GROUP layout:
     the growing concat lives as ``(8, rows, 128)`` groups in VMEM, each
@@ -580,9 +581,24 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                 gate = 1.0
             else:
                 # CAM context gate
-                pooled = jnp.dot(pt, x2.astype(f32),
-                                 preferred_element_type=f32)
-                ctx = jnp.dot(msel, pooled, preferred_element_type=f32)
+                if uniform_tv is None:
+                    pooled = jnp.dot(pt, x2.astype(f32),
+                                     preferred_element_type=f32)
+                    ctx = jnp.dot(msel, pooled,
+                                  preferred_element_type=f32)
+                else:
+                    # uniform bucket: static reshape reductions (see the
+                    # unrolled kernel's gate block)
+                    x3 = x2.astype(f32).reshape(u, t_pad, bn_ch)
+                    mn = x3[:, :uniform_tv].sum(1) * (1.0 / uniform_tv)
+                    n_seg_u = -(-uniform_tv // SEG_LEN)
+                    segs = []
+                    for s in range(n_seg_u):
+                        s0 = s * SEG_LEN
+                        s1 = min((s + 1) * SEG_LEN, uniform_tv)
+                        segs.append(
+                            x3[:, s0:s1].sum(1) * (1.0 / (s1 - s0)) + mn)
+                    ctx = jnp.stack(segs, 1).reshape(u * n_seg_u, bn_ch)
                 w1 = w_cam1T_ref[pl.ds(l, 1), :, :][0]
                 c1 = dotT(ctx.astype(compute_dtype), w1)
                 c1 = jnp.maximum(
@@ -590,8 +606,20 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                 w2 = w_cam2T_ref[pl.ds(l, 1), :, :][0]
                 g = dotT(c1.astype(compute_dtype), w2)
                 g = jax.nn.sigmoid(g + cb[:, growth:2 * growth])
-                gate = jnp.dot(ssel, g.astype(compute_dtype),
-                               preferred_element_type=f32)
+                if uniform_tv is None:
+                    gate = jnp.dot(ssel, g.astype(compute_dtype),
+                                   preferred_element_type=f32)
+                else:
+                    n_seg_u = -(-uniform_tv // SEG_LEN)
+                    g3 = jnp.broadcast_to(
+                        g.reshape(u, n_seg_u, 1, growth),
+                        (u, n_seg_u, SEG_LEN, growth)).reshape(
+                            u, n_seg_u * SEG_LEN, growth)
+                    if n_seg_u * SEG_LEN < t_pad:
+                        g3 = jnp.pad(
+                            g3, ((0, 0), (0, t_pad - n_seg_u * SEG_LEN),
+                                 (0, 0)))
+                    gate = g3[:, :t_pad].reshape(rows, growth)
 
             out = ((y * gate) * mask).astype(compute_dtype)
             gi = g0 + li // 4
@@ -655,7 +683,7 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
 @functools.partial(jax.jit, static_argnames=("plan_key", "interpret"))
 def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
                        interpret):
-    (t_pad, u) = plan_key
+    (t_pad, u, uniform_tv) = plan_key
     plan = trunk_plan()
     rows = u * t_pad
     grid = (xe.shape[0] // rows,)
@@ -663,7 +691,7 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
 
     kernel = functools.partial(
         _kernel_looped, plan=plan, u=u, t_pad=t_pad,
-        compute_dtype=jnp.bfloat16)
+        compute_dtype=jnp.bfloat16, uniform_tv=uniform_tv)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
@@ -858,10 +886,9 @@ def trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask, corr,
     if "w_lin1g" in packed and ("w_lin1" not in packed
                                 or _use_looped(t_pad)):
         call = _trunk_call_looped
-        key = (t_pad, u)
     else:
         call = _trunk_call
-        key = (t_pad, u, uniform_tv if _UNIFORM_GATES else None)
+    key = (t_pad, u, uniform_tv if _UNIFORM_GATES else None)
     out = call(packed, xe, xo, pt, msel, ssel, mask,
                plan_key=key, interpret=interpret)
     cf = plan["final_channels"]
