@@ -168,3 +168,26 @@ def test_data_parallel_predict_batch_matches_single(env):
     # to the plain Predictor's routing (exact-length, no padding)
     assert np.allclose(pred_dp.predict(clips[0]), pred_sp.predict(clips[0]),
                        atol=1e-5)
+
+
+def test_fast_path_failure_falls_back_to_xla(env):
+    """A Pallas fast path that explodes at first invocation (e.g. a part
+    Mosaic can't serve) must degrade to the XLA embed path and disable
+    itself — serving never goes down."""
+    root, cfg, model_path = env
+    pred = Predictor(configs=cfg, model_path=model_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic lowering failed")
+
+    pred._embed_fast = boom
+    pred._embed_fast_masked = boom
+    pred._FAST_PATH_MAX_SAMPLES = 10 ** 9
+    emb = pred.predict(str(root / "s0_u0.wav"))
+    assert emb.shape == (32,)
+    assert pred._embed_fast is None          # disabled after the failure
+    ref = Predictor(configs=cfg, model_path=model_path).predict(
+        str(root / "s0_u0.wav"))
+    cos = float((emb * ref).sum()
+                / (np.linalg.norm(emb) * np.linalg.norm(ref)))
+    assert cos > 0.9999
