@@ -216,3 +216,24 @@ def test_gradient_accumulation(workdir, tmp_path):
         lambda acc, ab: acc + float(np.abs(ab).sum()),
         jax.tree_util.tree_map(lambda a, b: a - b, p1, p2), 0.0)
     assert moved > 0.0, "resumed accumulation epoch did not update params"
+
+
+def test_eval_fast_path_failure_falls_back(workdir, tmp_path):
+    """A Pallas eval path that explodes at first batch must not take the
+    per-epoch eval down: the loader logs, disables it, and finishes on
+    the XLA path with a valid EER."""
+    cfg = _configs(workdir, max_epoch=1)
+    t = Trainer(configs=cfg)
+    save = str(tmp_path / "models_fb")
+    t.train(save_model_path=save, log_dir=str(tmp_path / "log_fb"),
+            do_eval=False)
+
+    def boom_factory(variables):
+        def boom(waves, ratios):
+            raise RuntimeError("mosaic lowering failed")
+        return boom
+
+    t._maybe_fast_eval = boom_factory
+    eer, min_dcf, thr = t.evaluate(
+        resume_model=os.path.join(save, "TDNN_Fbank", "last_model"))
+    assert 0.0 <= eer <= 1.0 and 0.0 <= min_dcf
