@@ -162,17 +162,37 @@ def main():
 
     xla_trunk = lambda feats: model.apply(variables, feats, train=False)
     if jax.default_backend() == "tpu":
-        # production inference path: fused fbank + FCM + trunk kernels;
-        # if a kernel fails on this part, fall back to XLA rather than
-        # failing the whole benchmark
-        try:
-            embed_chained = make_chained(
-                make_campplus_embed_fn(model, variables))
-            _sync(embed_chained(waves))  # compile + warm
-        except Exception as e:
-            import sys
-            print(f"pallas path failed ({e!r}); XLA fallback",
-                  file=sys.stderr, flush=True)
+        # production inference path: fused fbank + FCM + trunk kernels.
+        # Degrade GRADUALLY if a kernel fails on this part: first drop
+        # the uniform-gate variant, then the FCM kernel, and only then
+        # the whole Pallas path — one unsupported construct must not
+        # forfeit the rest of the kernel stack
+        import sys
+
+        from voiceprintrecognition_paddlepaddle_tpu.models import (
+            pallas_campplus as pc)
+        attempts = [
+            ("full kernel stack", {}),
+            ("matmul CAM gates", {"_UNIFORM_GATES": False}),
+            ("XLA FCM", {"_UNIFORM_GATES": False, "_FCM_PALLAS": False}),
+        ]
+        embed_chained = None
+        for name, flags in attempts:
+            for attr, val in flags.items():
+                setattr(pc, attr, val)
+            try:
+                embed_chained = make_chained(
+                    make_campplus_embed_fn(model, variables))
+                _sync(embed_chained(waves))  # compile + warm
+                if flags:
+                    print(f"pallas path degraded to: {name}",
+                          file=sys.stderr, flush=True)
+                break
+            except Exception as e:
+                print(f"{name} failed ({e!r})", file=sys.stderr,
+                      flush=True)
+                embed_chained = None
+        if embed_chained is None:
             embed_chained = make_chained(xla_trunk)
             _sync(embed_chained(waves))
     else:
