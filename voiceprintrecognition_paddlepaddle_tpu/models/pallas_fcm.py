@@ -133,8 +133,6 @@ def _copy_plan(stride):
     return [tuple(e) for e in plan]
 
 
-_TAPS1 = _taps(1)    # 16 taps, K = 512 (last 4 = zero-shift center)
-_TAPS2 = _taps(2)    # 20 taps, K = 640 (last 8 = E then O zero-shift)
 _PLAN1 = _copy_plan(1)   # merged copies incl. center
 _PLAN2 = _copy_plan(2)
 # non-center copy plans for the fused kernel's split matmuls: K rows
