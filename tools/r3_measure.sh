@@ -19,3 +19,7 @@ VPR_SDCONV=1 timeout 2400 python tools/train_bench.py CAMPPlus 256 1
 
 # 3. the driver benchmark (also warms .jax_cache for the round-end run)
 timeout 3600 python bench.py
+
+# 4. device traces for the segment tables (embed path + train step)
+timeout 2400 python tools/trace_embed.py 3 256 5 /tmp/trace_embed_r3
+timeout 2400 python tools/trace_train.py 2>/dev/null || true
