@@ -22,4 +22,4 @@ timeout 3600 python bench.py
 
 # 4. device traces for the segment tables (embed path + train step)
 timeout 2400 python tools/trace_embed.py 3 256 5 /tmp/trace_embed_r3
-timeout 2400 python tools/trace_train.py 2>/dev/null || true
+timeout 2400 python tools/trace_train.py CAMPPlus 256 1 /tmp/trace_train_r3
