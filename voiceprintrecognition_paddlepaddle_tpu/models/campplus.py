@@ -18,11 +18,17 @@ from .layers import DenseBN
 
 __all__ = ["CAMPPlus"]
 
-# FCM train-path conv dispatch (models/pallas_conv2d.py): "1" (default)
-# uses the Pallas op on single-device TPU, "0" forces lax everywhere,
-# "force-interpret" runs the op in interpret mode on any backend (CPU
-# integration tests)
-_SDCONV = os.environ.get("VPR_SDCONV", "1")
+# FCM train-path conv dispatch (models/pallas_conv2d.py): "0" (default)
+# uses lax everywhere, "1" opts into the per-conv Pallas op on
+# single-device TPU, "force-interpret" runs the op in interpret mode on
+# any backend (CPU integration tests). Default is OFF: measured on v5e
+# (tools/train_bench.py CAMPPlus b256 bf16) the per-conv ops run the
+# train step at 643.6 ms vs 83.1 ms for lax — the per-call
+# space-to-depth relayouts and the batch-grid wgrad accumulation swamp
+# the occupancy win that makes the FUSED inference kernel
+# (models/pallas_fcm.py) 1.8-3.6x faster. See ROADMAP.md "Measured
+# decisions".
+_SDCONV = os.environ.get("VPR_SDCONV", "0")
 
 
 class SDConv(nn.Module):
