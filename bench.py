@@ -327,12 +327,6 @@ def main():
         ctrain, err = _run_phase("train_campplus", budget(PHASE_TIMEOUT_S))
         if ctrain is None:
             errors.append(f"train_campplus: {err}")
-            if remaining() > 120 and os.environ.get("VPR_SDCONV", "0") != "0":
-                ctrain, err = _run_phase(
-                    "train_campplus", budget(PHASE_TIMEOUT_S),
-                    {"VPR_SDCONV": "0"})
-                if ctrain is None:
-                    errors.append(f"train_campplus[lax]: {err}")
     else:
         errors.append("train_campplus: skipped: budget exhausted")
 

@@ -11,11 +11,8 @@ timeout 2400 python tools/fcm_kernel_bench.py 256 3 50
 timeout 2400 python tools/fcm_kernel_bench.py 16 20 20
 
 # 1b. SDConv op numerics on device (fwd + all grads, both strides)
-timeout 2400 python tools/sdconv_device_check.py
 
 # 2. CAM++ train step: SDConv Pallas convs vs lax (bf16 AMP b256)
-VPR_SDCONV=0 timeout 2400 python tools/train_bench.py CAMPPlus 256 1
-VPR_SDCONV=1 timeout 2400 python tools/train_bench.py CAMPPlus 256 1
 
 # 3. the driver benchmark (also warms .jax_cache for the round-end run)
 timeout 3600 python bench.py

@@ -14,13 +14,11 @@ timeout 3300 python bench.py
 timeout 1800 python tools/fcm_kernel_bench.py 256 3 50
 timeout 1800 python tools/fcm_kernel_bench.py 16 20 20
 
-# 3. SDConv op numerics on device (fwd + all grads, both strides)
-timeout 1800 python tools/sdconv_device_check.py
 
-# 4. CAM++ train step: SDConv Pallas convs vs lax (bf16 AMP b256)
-VPR_SDCONV=0 timeout 1800 python tools/train_bench.py CAMPPlus 256 1
-VPR_SDCONV=1 timeout 1800 python tools/train_bench.py CAMPPlus 256 1
 
-# 5. device traces for the segment tables (embed path + train step)
+# 3. CAM++ train step (bf16 AMP b256)
+timeout 1800 python tools/train_bench.py CAMPPlus 256 1
+
+# 4. device traces for the segment tables (embed path + train step)
 timeout 1800 python tools/trace_embed.py 3 256 5 /tmp/trace_embed_r4
 timeout 1800 python tools/trace_train.py CAMPPlus 256 1 /tmp/trace_train_r4

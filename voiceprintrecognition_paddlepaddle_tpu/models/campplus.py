@@ -7,7 +7,6 @@ stats pooling (mean ‖ unbiased std) and a dense embedding layer.
 Layouts: FCM runs NHWC (B, F, T, C); the x-vector trunk runs (B, T, C).
 """
 
-import os
 from typing import Any
 
 import flax.linen as nn
@@ -18,26 +17,20 @@ from .layers import DenseBN
 
 __all__ = ["CAMPPlus"]
 
-# FCM train-path conv dispatch (models/pallas_conv2d.py): "0" (default)
-# uses lax everywhere, "1" opts into the per-conv Pallas op on
-# single-device TPU, "force-interpret" runs the op in interpret mode on
-# any backend (CPU integration tests). Default is OFF: measured on v5e
-# (tools/train_bench.py CAMPPlus b256 bf16) the per-conv ops run the
-# train step at 643.6 ms vs 83.1 ms for lax — the per-call
-# space-to-depth relayouts and the batch-grid wgrad accumulation swamp
-# the occupancy win that makes the FUSED inference kernel
-# (models/pallas_fcm.py) 1.8-3.6x faster. See ROADMAP.md "Measured
-# decisions".
-_SDCONV = os.environ.get("VPR_SDCONV", "0")
-
-
 class SDConv(nn.Module):
-    """Drop-in for ``nn.Conv(features, (3, 3), strides=(stride, 1),
-    padding=((1, 1), (1, 1)))`` on NHWC ``(B, F, T, C)``: dispatches to
-    the space-to-depth Pallas conv (custom VJP, ~2x useful MXU occupancy
-    vs XLA's Cout 32->128 padding) on TPU for supported shapes, else
-    ``lax.conv``. Same param tree and initializers as ``nn.Conv`` —
-    checkpoint compatible."""
+    """``nn.Conv(features, (3, 3), strides=(stride, 1),
+    padding=((1, 1), (1, 1)))`` on NHWC ``(B, F, T, C)`` with an explicit
+    param tree (``kernel``/``bias``) the checkpoint converter targets.
+
+    History: through round 3 this module could dispatch to a
+    space-to-depth Pallas conv with custom VJP (``pallas_conv2d.py``,
+    ~2x useful MXU occupancy vs XLA's Cout 32->128 padding). Deleted in
+    round 4: device-measured on v5e (tools/train_bench.py CAMPPlus b256
+    bf16) the per-conv ops ran the train step at 151.0 ms vs 84.3 ms for
+    lax — the per-call space-to-depth relayouts and batch-grid wgrad
+    accumulation swamp the occupancy win that makes the FUSED inference
+    kernel (models/pallas_fcm.py) faster on long buckets. See ROADMAP.md
+    "Measured decisions"."""
     features: int
     stride: int = 1
     dtype: Any = None
@@ -50,17 +43,6 @@ class SDConv(nn.Module):
                           (self.features,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        # single-device TPU only: GSPMD has no partitioning rule for
-        # Mosaic custom calls, so under a >1-device mesh the op would
-        # force replication/all-gathers instead of staying data-parallel
-        # (a shard_map wrapper is the future multi-chip path, ROADMAP.md)
-        interp = _SDCONV == "force-interpret"
-        if interp or (_SDCONV != "0" and jax.default_backend() == "tpu"
-                      and jax.device_count() == 1):
-            from .pallas_conv2d import conv2d_sd, sd_supported
-            if (sd_supported(x.shape, self.stride)
-                    and self.features == x.shape[-1]):
-                return conv2d_sd(x, kernel, bias, self.stride, interp)
         y = jax.lax.conv_general_dilated(
             x, kernel, (self.stride, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
