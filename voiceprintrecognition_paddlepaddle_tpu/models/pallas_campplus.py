@@ -59,7 +59,8 @@ __all__ = ["pack_trunk", "pack_trunk_grouped", "default_pack",
            "trunk_stats_pallas", "campplus_embed_pallas", "trunk_plan",
            "trunk_geometry", "trunk_stats_from_parts",
            "make_campplus_embed_fn", "make_campplus_masked_embed_fn",
-           "make_campplus_eval_embed_fn"]
+           "make_campplus_eval_embed_fn", "make_campplus_sharded_embed_fn",
+           "make_campplus_sharded_eval_embed_fn"]
 
 # kernel variant: "looped" compiles the 52 CAM layers as per-block
 # fori_loops over a uniform channel-group geometry (fresh compile ~17 s
@@ -74,17 +75,33 @@ _VARIANT = os.environ.get("VPR_TRUNK_VARIANT", "auto")
 _UNROLL_MAX_TPAD = 160
 
 # FCM front-end dispatch: the Pallas FCM kernel (models/pallas_fcm.py)
-# serves the standard 80-mel config up to its VMEM-bounded bucket length;
-# set VPR_FCM_PALLAS=0 to force the XLA FCM
-_FCM_PALLAS = os.environ.get("VPR_FCM_PALLAS", "1") != "0"
+# serves long buckets only. Device-measured on v5e
+# (tools/fcm_kernel_bench.py, r4): at the b256 x 3 s hot bucket XLA's FCM
+# runs 6.0 ms/call vs 20.5 ms for the kernel (XLA tiles the wide-batch
+# convs well), while at b16 x 20 s the kernel wins 11.9 ms vs 19.0 ms
+# (XLA's small-batch long-T conv layout collapses). The threshold picks
+# the winner per bucket; VPR_FCM_PALLAS=1 forces the kernel everywhere,
+# =0 disables it.
+_FCM_PALLAS = os.environ.get("VPR_FCM_PALLAS", "auto")
+# frames at/above which the Pallas FCM beats XLA (10 s of audio; the
+# measured crossover lies between 297 and 1997 frames — see ROADMAP.md)
+_FCM_PALLAS_MIN_T = int(os.environ.get("VPR_FCM_MIN_T", "1000"))
 
 
 def _fcm_forward(model, variables, feats, interpret, packed_fcm=None):
     """FCM forward for the embed paths: the fused Pallas FCM kernel when
-    the config/bucket supports it, else the XLA module."""
+    the config/bucket supports it and measurement favours it, else the
+    XLA module."""
     from . import pallas_fcm
-    if _FCM_PALLAS and pallas_fcm.fcm_supported(feats.shape[1],
-                                                feats.shape[2]):
+    t = feats.shape[1]
+    if _FCM_PALLAS in (False, "0"):
+        want = False
+    elif _FCM_PALLAS in (True, "1"):
+        want = True
+    else:  # "auto": interpret mode is the CPU parity-test path — keep
+        # the kernel engaged regardless of the device-measured threshold
+        want = interpret or t >= _FCM_PALLAS_MIN_T
+    if want and pallas_fcm.fcm_supported(t, feats.shape[2]):
         return pallas_fcm.fcm_pallas(variables, feats, interpret=interpret,
                                      packed=packed_fcm)
     from .campplus import FCM
@@ -1045,5 +1062,116 @@ def make_campplus_masked_embed_fn(model, variables, featurizer,
 
     def call(waves, ratios):
         return generic(variables, packed, waves, ratios)
+
+    return call
+
+
+def make_campplus_sharded_eval_embed_fn(model, featurizer, mesh,
+                                        interpret=False):
+    """Data-parallel fast path with the WEIGHTS as traced arguments: the
+    SAME fused kernel stack (Fbank → FCM → trunk Pallas kernels) under
+    ``jax.shard_map`` over the mesh's data axis. GSPMD has no
+    partitioning rule for Mosaic custom calls — a plain ``jit`` of the
+    kernel path under a >1-device mesh forces replication/all-gathers —
+    but ``shard_map`` hands each device its local batch shard and the
+    kernels run per-device unchanged (the embed has no cross-batch
+    collectives: weights replicated, batch embarrassingly parallel — the
+    serving analogue of the reference's DP-everywhere stance,
+    ``ppvector/trainer.py:299-320``).
+
+    Returns a host callable ``(variables, packed, packed_fcm,
+    waves (B, L) np, ratios (B,) np|None) -> embeddings (B, embd_dim)``
+    — one compiled program per bucket shape serving *any* checkpoint
+    (the per-epoch ``Trainer.evaluate()`` path on >1 local devices).
+    The batch is padded internally to a multiple of ``u * n_devices`` so
+    every shard sees identical static shapes; per-utterance pooling
+    weights/masks are built host-side and sharded alongside the batch,
+    and the uniform-gate variant engages when every utterance is
+    exact-length."""
+    from .layers import DenseBN
+
+    n_dev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    head = DenseBN(model.embd_dim, config_str="batchnorm_",
+                   dtype=model.dtype)
+
+    def shard_fn(variables, packed, packed_fcm, waves, ratios,
+                 pt, msel, ssel, mask, corr, *, t_pad, u, uniform_tv):
+        feats = featurizer.featurize(waves, input_lens_ratio=ratios)
+        fcm_out = _fcm_forward(model, variables, feats, interpret,
+                               packed_fcm)
+        stats = trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel,
+                                       mask, corr, t_pad, u,
+                                       interpret=interpret,
+                                       uniform_tv=uniform_tv)
+        return head.apply(
+            {"params": variables["params"]["DenseBN_0"],
+             "batch_stats": variables["batch_stats"]["DenseBN_0"]},
+            stats.astype(model.dtype or jnp.float32), train=False)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("t_pad", "u", "uniform_tv"))
+    def inner(variables, packed, packed_fcm, waves, ratios,
+              pt, msel, ssel, mask, corr, *, t_pad, u, uniform_tv):
+        from jax.sharding import PartitionSpec as P
+        fn = functools.partial(shard_fn, t_pad=t_pad, u=u,
+                               uniform_tv=uniform_tv)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(), P(),
+                      P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False)(
+                variables, packed, packed_fcm, waves, ratios,
+                pt, msel, ssel, mask, corr)
+
+    def call(variables, packed, packed_fcm, waves, ratios=None,
+             u=None):
+        waves = np.asarray(waves, np.float32)
+        b, n_samples = waves.shape
+        ratios = (np.ones((b,), np.float32) if ratios is None
+                  else np.asarray(ratios, np.float32))
+        probe_t = featurizer.num_frames(n_samples)
+        t_valid, t_pad, u, n_segs = trunk_geometry(probe_t, u)
+        # every shard needs the same static shapes with a local batch
+        # divisible by the kernel's per-step utterance count u
+        b_pad = _round_up(max(b, u * n_dev), u * n_dev)
+        if b_pad != b:
+            waves = np.concatenate(
+                [waves, np.zeros((b_pad - b, n_samples), np.float32)])
+            ratios = np.concatenate(
+                [ratios, np.ones((b_pad - b,), np.float32)])
+        tv = [max(1, min(int(math.ceil(r * t_valid)), t_valid))
+              for r in ratios]
+        uniform_tv = t_valid if all(t == t_valid for t in tv) else None
+        pt, msel, ssel, mask = _pool_matrices(tv, t_pad, u, n_segs)
+        corr = np.sqrt(np.asarray(
+            [t / max(t - 1, 1) for t in tv], np.float32))
+        emb = inner(variables, packed, packed_fcm,
+                    jnp.asarray(waves), jnp.asarray(ratios),
+                    jnp.asarray(pt), jnp.asarray(msel), jnp.asarray(ssel),
+                    jnp.asarray(mask), jnp.asarray(corr),
+                    t_pad=t_pad, u=u, uniform_tv=uniform_tv)
+        return np.asarray(emb)[:b]
+
+    return call
+
+
+def make_campplus_sharded_embed_fn(model, variables, mesh, featurizer,
+                                   interpret=False):
+    """Fixed-checkpoint wrapper over
+    ``make_campplus_sharded_eval_embed_fn`` (multi-device serving:
+    ``Predictor(data_parallel=True)``): packs the trunk + FCM weights
+    once and returns ``(waves (B, L) np, ratios (B,) np|None) ->
+    embeddings (B, embd_dim)``."""
+    from .pallas_fcm import pack_fcm
+
+    packed = jax.jit(lambda v: default_pack(v, trunk_plan()))(variables)
+    packed_fcm = jax.jit(pack_fcm)(variables)
+    generic = make_campplus_sharded_eval_embed_fn(model, featurizer, mesh,
+                                                  interpret=interpret)
+
+    def call(waves, ratios=None, u=None):
+        return generic(variables, packed, packed_fcm, waves, ratios, u=u)
 
     return call

@@ -94,6 +94,7 @@ class Predictor:
         # unrolled variant capped this at 4 s). Longer clips fall back
         # to XLA.
         self._FAST_PATH_MAX_SAMPLES = 640000
+        self._embed_fast_sharded = None
         self._embed_fast = self._maybe_make_fast_embed()
 
         # voiceprint database state (reference ``predict.py:69-86``)
@@ -132,10 +133,19 @@ class Predictor:
             return None
         try:
             from .models.pallas_campplus import (
-                make_campplus_embed_fn, make_campplus_masked_embed_fn)
+                make_campplus_embed_fn, make_campplus_masked_embed_fn,
+                make_campplus_sharded_embed_fn)
             embed = make_campplus_embed_fn(self.model, self.variables)
             self._embed_fast_masked = make_campplus_masked_embed_fn(
                 self.model, self.variables, self._audio_featurizer)
+            if self._mesh is not None:
+                # data-parallel serving keeps the kernel stack: shard_map
+                # hands each device its batch shard (GSPMD can't
+                # partition the Mosaic custom calls, so the plain jitted
+                # path would drop them)
+                self._embed_fast_sharded = make_campplus_sharded_embed_fn(
+                    self.model, self.variables, self._mesh,
+                    self._audio_featurizer)
         except Exception as e:  # pragma: no cover - fall back to XLA path
             logger.warning(
                 f"Pallas fast inference path disabled ({e!r}); "
@@ -350,6 +360,19 @@ class Predictor:
                 ratios[j] = len(s) / max_len
             ratios_valid = ratios[:b_real]
             if use_dp:
+                # sharded kernel path first (same VMEM bucket cap as the
+                # single-device fast path — per-device shapes are local)
+                if (self._embed_fast_sharded is not None
+                        and max_len <= self._FAST_PATH_MAX_SAMPLES):
+                    try:
+                        emb = self._embed_fast_sharded(waves, ratios)
+                        features.append(np.asarray(emb)[:b_real])
+                        continue
+                    except Exception as e:  # pragma: no cover - device-only
+                        logger.warning(
+                            f"sharded Pallas fast path failed ({e!r}); "
+                            "falling back to the XLA path for this process")
+                        self._embed_fast_sharded = None
                 from .parallel.mesh import shard_batch
                 waves_s, ratios_s = shard_batch((waves, ratios),
                                                 self._mesh)

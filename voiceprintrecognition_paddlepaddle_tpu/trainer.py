@@ -436,15 +436,18 @@ class Trainer:
         return {"params": self.state.params["backbone"],
                 "batch_stats": self.state.batch_stats["backbone"]}
 
-    def _maybe_fast_eval(self, variables):
+    def _maybe_fast_eval(self, variables, mesh=None):
         """Masked Pallas-trunk embed for the per-epoch eval (CAM++ on
         TPU): weights ride as traced args, so every epoch's checkpoint
-        reuses the same compiled program per eval bucket. Returns a
-        ``(waves np, ratios np) -> embeddings`` callable or None."""
+        reuses the same compiled program per eval bucket. With ``mesh``
+        (>1 devices) the same kernel stack runs data-parallel under
+        ``jax.shard_map`` — GSPMD can't partition the Mosaic custom
+        calls, so the plain jitted path would silently drop them.
+        Returns a ``(waves np, ratios np) -> embeddings`` callable or
+        None."""
         from .models.campplus import CAMPPlus
         if not (isinstance(self.model, CAMPPlus)
                 and jax.default_backend() == "tpu"
-                and jax.process_count() == 1
                 and getattr(self.model, "growth_rate", None) == 32
                 and getattr(self.model, "init_channels", None) == 128
                 and getattr(self.model, "bn_size", None) == 4
@@ -453,18 +456,34 @@ class Trainer:
                 and getattr(self.audio_featurizer, "dither", 0.0) == 0.0):
             return None
         try:
-            from .models.pallas_campplus import (default_pack,
-                                                 make_campplus_eval_embed_fn,
-                                                 trunk_plan)
-            if self._fast_eval_fn is None:
-                self._fast_eval_fn = make_campplus_eval_embed_fn(
-                    self.model, self.audio_featurizer)
-            # cache the jitted packer: a fresh jit(lambda) per call
+            from .models.pallas_campplus import (
+                default_pack, make_campplus_eval_embed_fn,
+                make_campplus_sharded_eval_embed_fn, trunk_plan)
+            # cache the jitted packers: a fresh jit(lambda) per call
             # would retrace/recompile the weight pack on every eval
             if getattr(self, "_fast_eval_pack", None) is None:
                 self._fast_eval_pack = jax.jit(
                     lambda v: default_pack(v, trunk_plan()))
             packed = self._fast_eval_pack(variables)
+            if mesh is not None and mesh.devices.size > 1:
+                from .models.pallas_fcm import pack_fcm
+                if getattr(self, "_fast_eval_fcm_pack", None) is None:
+                    self._fast_eval_fcm_pack = jax.jit(pack_fcm)
+                packed_fcm = self._fast_eval_fcm_pack(variables)
+                # per-mesh closure cache (the eval mesh is stable within
+                # a run: the global mesh or this host's local devices)
+                cached_mesh, cached_fn = getattr(
+                    self, "_fast_eval_fn_sharded", (None, None))
+                if cached_mesh is not mesh:
+                    cached_fn = make_campplus_sharded_eval_embed_fn(
+                        self.model, self.audio_featurizer, mesh)
+                    self._fast_eval_fn_sharded = (mesh, cached_fn)
+                fn_sharded = cached_fn
+                return lambda waves, ratios: fn_sharded(
+                    variables, packed, packed_fcm, waves, ratios)
+            if self._fast_eval_fn is None:
+                self._fast_eval_fn = make_campplus_eval_embed_fn(
+                    self.model, self.audio_featurizer)
             fn = self._fast_eval_fn
             return lambda waves, ratios: fn(variables, packed, waves,
                                             ratios)
@@ -775,7 +794,8 @@ class Trainer:
         else:
             variables = self._backbone_variables()
             n_dev = 1 if self.mesh is None else self.mesh.devices.size
-        fast = self._maybe_fast_eval(variables) if n_dev == 1 else None
+        fast = self._maybe_fast_eval(
+            variables, mesh=eval_mesh if n_dev > 1 else None)
         feats, labels = [], []
         for kind, data, y, lens in loader:
             if self.stop_eval:
