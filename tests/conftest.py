@@ -23,3 +23,13 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly marked slow is the fast/core tier, so
+    ``-m fast`` and ``-m "not slow"`` select the same < 5-min subset."""
+    import pytest
+
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)

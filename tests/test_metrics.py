@@ -25,15 +25,28 @@ def test_eer_random_scores_near_half():
 
 
 def test_eer_degenerate_trials_raise_clear_error():
-    # a trials list with no target (same-speaker) pairs makes the
-    # FNR/FPR curves never cross; must be a ValueError, not IndexError
+    # a trials list with no target (same-speaker) pairs: the curve
+    # construction itself is 0/0 — must be a ValueError (with no
+    # RuntimeWarning spray), not a NaN curve or a bare IndexError
     import pytest
 
     scores = np.array([0.9, 0.1], dtype=np.float32)
     labels = np.array([0, 0], dtype=np.int32)  # non-target only
-    fnr, fpr, _ = compute_fnr_fpr(scores, labels)
-    with pytest.raises(ValueError, match="target"):
-        compute_eer(fnr, fpr, scores)
+    with pytest.raises(ValueError, match="target"), \
+            np.errstate(invalid="raise", divide="raise"):
+        compute_fnr_fpr(scores, labels)
+
+
+def test_eer_noncrossing_curves_raise_clear_error():
+    # curves exist (both classes present) but never cross: perfectly
+    # inverted scores put FNR above FPR everywhere except the forced
+    # endpoints — compute_eer's own guard must catch the empty side
+    import pytest
+
+    fnr = np.array([0.1, 0.2, 0.3])
+    fpr = np.array([1.0, 0.9, 0.6])  # diff < 0 everywhere
+    with pytest.raises(ValueError, match="cross"):
+        compute_eer(fnr, fpr)
 
 
 def test_dcf_bounds():

@@ -30,8 +30,17 @@ def compute_fnr_fpr(scores, labels, weights=None):
     tgt = weights * (labels == 1).astype("f8")
     imp = weights * (labels == 0).astype("f8")
 
-    fnr = np.cumsum(tgt) / np.sum(tgt)
-    fpr = 1 - np.cumsum(imp) / np.sum(imp)
+    tgt_total, imp_total = np.sum(tgt), np.sum(imp)
+    if tgt_total == 0 or imp_total == 0:
+        # one-sided trial set: the curves would be 0/0 = NaN everywhere
+        # and compute_eer would raise a bare IndexError downstream
+        raise ValueError(
+            "FNR/FPR are undefined: the trials must contain both target "
+            "(same-speaker) and non-target pairs "
+            f"(got {int(np.sum(labels == 1))} target / "
+            f"{int(np.sum(labels == 0))} non-target).")
+    fnr = np.cumsum(tgt) / tgt_total
+    fpr = 1 - np.cumsum(imp) / imp_total
     return fnr, fpr, thresholds
 
 
