@@ -1,21 +1,41 @@
 """Training-DYNAMICS parity: the flax stack vs an independent torch
-re-derivation, trained for N steps from identical weights and batches.
+re-derivation from identical weights and batches.
 
 The strongest validation available without CN-Celeb/VoxCeleb (VERDICT r3
 item 7): the torch forwards in ``test_torch_crosscheck.py`` — written
 directly against the reference's paddle state-dict keys, sharing no code
 with the flax implementation — are extended to TRAIN mode (batch-stat
 BatchNorm), given the same Cosine-head + AAM loss re-derivation
-(reference ``ppvector/models/fc.py:6-87`` + ``loss/aamloss.py``), and
-stepped with torch.optim.Adam while the flax side runs the exact
-bench/trainer step (flax apply + optax.adam). Per-step loss agreement
-upgrades the architecture-parity story to training-dynamics parity:
-forward, backward, BN batch statistics, margin-loss geometry, and Adam
-all match.
+(reference ``ppvector/models/fc.py:6-87`` + ``ppvector/loss/aamloss.py``)
+and compared as a FACTORED set of deterministic checks:
+
+1. train-mode forward parity — the loss at identical init;
+2. full gradient-tree parity — torch's per-tensor grads are mapped
+   through the SAME converter transforms as the weights (every transform
+   is a permutation — transpose/reshape — so dL/dW maps exactly), then
+   compared leaf-by-leaf against ``jax.grad``; PLUS a float64
+   ground-truth run (subprocess, ``JAX_ENABLE_X64``) where both sides
+   must agree to 1e-5 — proving the backward SEMANTICS identical and
+   pinning the f32 leaf tolerances to measured rounding, not hand-waving;
+3. BatchNorm running-statistic update parity after a train step;
+4. optimizer parity on bitwise-identical gradients (optax.adam vs
+   torch.optim.Adam);
+5. a short multi-step SGD integration run comparing accumulated
+   parameter DELTAS (final - init) leaf-by-leaf.
+
+Why not assert per-step LOSS agreement over a trajectory: AAM at
+scale=32 on a random-init 52-layer trunk is chaotic — measured, the
+flax/torch loss gap grows ~30x per step from reduction-order rounding
+(7e-6 -> 3e-4 -> 1.7e-2 at lr=1e-4), and even the step-0 loss moves by
+2.4e-3 across XLA codegen variants (AOT cache vs fresh compile). The
+factored checks above pin every ingredient of the dynamics — forward,
+backward, BN statistics, optimizer update, and their composition — with
+tolerances that are stable across hosts.
 """
 
 import math
 import os
+import subprocess
 import sys
 
 import jax
@@ -29,6 +49,8 @@ import torch.nn.functional as tF  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from flax.traverse_util import flatten_dict  # noqa: E402
+
 from tools.convert_paddle_checkpoint import SPECS, convert_state  # noqa: E402
 from voiceprintrecognition_paddlepaddle_tpu.loss import AAMLoss  # noqa: E402
 from voiceprintrecognition_paddlepaddle_tpu.models import MODELS  # noqa: E402
@@ -41,16 +63,22 @@ from test_torch_crosscheck import P, torch_campplus, torch_ecapa  # noqa: E402
 
 pytestmark = pytest.mark.slow
 
-MARGIN, SCALE, LR = 0.2, 32.0, 1e-3
+MARGIN, SCALE = 0.2, 32.0
 
 
 class TrainP(P):
     """Train-mode accessor: BatchNorm normalizes by BATCH statistics
-    (in-place running-stat update, momentum matching flax's 0.9), and
+    (in-place running-stat update; torch momentum 0.1 == flax 0.9), and
     every weight/bias leaf carries grad."""
 
     def __init__(self, state):
-        super().__init__(state)
+        # deep-copy: P's torch.from_numpy shares memory with the numpy
+        # state, which also backs the flax-side inputs zero-copy on CPU —
+        # the in-place BN running-stat updates during torch's forward
+        # would otherwise race with JAX's async execution (measured: the
+        # flax batch_stats outputs turned non-deterministic)
+        super().__init__({k: np.array(v, np.float32, copy=True)
+                          for k, v in state.items()})
         for k, v in self.s.items():
             if not (k.endswith("._mean") or k.endswith("._variance")):
                 v.requires_grad_(True)
@@ -83,10 +111,9 @@ def _torch_aam_head(emb, weight, labels, margin=MARGIN, scale=SCALE):
     return tF.cross_entropy(out, labels)
 
 
-def _dynamics_parity(name, args, input_size, t_len, torch_fwd, n_steps=5,
-                     batch=4, n_spk=8, seed=3):
-    # ---- identical initial weights via the converter (the same flow the
-    # forward cross-checks validate) ----
+def _setup(name, args, input_size, seed=3, n_spk=8):
+    """Identical initial weights via the converter (the same flow the
+    forward cross-checks validate)."""
     param_shapes, stat_shapes = _model_tree_shapes(name, args, input_size)
     entries = SPECS[name](input_size, **args)
     rng = np.random.RandomState(seed)
@@ -94,76 +121,356 @@ def _dynamics_parity(name, args, input_size, t_len, torch_fwd, n_steps=5,
     tree = convert_state(state, name, input_size, model_args=args)
     emb_dim = args["embd_dim"]
     w_cls = (rng.randn(emb_dim, n_spk) / np.sqrt(emb_dim)).astype(np.float32)
+    return state, tree, w_cls, rng
 
-    # identical batches for every step
+
+def _flax_step_fn(name, args, input_size, n_spk):
+    model = MODELS[name](input_size=input_size, **args)
+    classifier = SpeakerIdentification(num_speakers=n_spk, num_blocks=0)
+    criterion = AAMLoss(margin=MARGIN, scale=SCALE)
+
+    def loss_fn(params, stats, feats, labels):
+        emb, mb = model.apply(
+            {"params": params["backbone"],
+             "batch_stats": stats["backbone"]},
+            feats, train=True, mutable=["batch_stats"])
+        out = classifier.apply({"params": params["classifier"]},
+                               emb.astype(jnp.float32), train=False)
+        return criterion(out, labels,
+                         margin=jnp.float32(MARGIN)), mb["batch_stats"]
+
+    return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+
+def _flat(tree):
+    return {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(tree).items()}
+
+
+def _assert_tree_close(flat_got, flat_ref, tol, what, floor_frac=1e-2):
+    assert set(flat_got) == set(flat_ref)
+    gnorm = math.sqrt(sum(float((v.astype(np.float64) ** 2).sum())
+                          for v in flat_ref.values()))
+    bad = []
+    for key in sorted(flat_ref):
+        a, b = flat_got[key], flat_ref[key]
+        assert a.shape == b.shape, (what, key, a.shape, b.shape)
+        # norm-relative with a global floor: a leaf whose reference norm
+        # is small vs the whole tree is judged against floor_frac x the
+        # global norm — an error AT tol there is <= tol * floor_frac of
+        # the tree, negligible, while same-scale leaves still must match
+        # to tol (small bias/BN-beta grads carry 1-3% reduction-order
+        # noise that says nothing about parity)
+        denom = max(float(np.linalg.norm(b)), floor_frac * gnorm, 1e-12)
+        rel = float(np.linalg.norm(a - b)) / denom
+        if rel > tol:
+            bad.append((key, rel))
+    assert not bad, (what, bad[:8])
+
+
+def _torch_state_to_tree(state_vals, name, input_size, args):
+    """Map a dict with the paddle state-dict KEYS but arbitrary VALUES
+    (grads, deltas, updated stats) through the converter: every
+    transform is a permutation, so the mapping is exact for any linear
+    quantity that lives on the weights."""
+    return convert_state(state_vals, name, input_size, model_args=args)
+
+
+def _grad_and_stat_parity(name, args, input_size, t_len, torch_fwd,
+                          batch=4, n_spk=8, seed=3, grad_tol=1e-2):
+    state, tree, w_cls, rng = _setup(name, args, input_size, seed, n_spk)
+    feats = rng.randn(batch, t_len, input_size).astype(np.float32)
+    labels = rng.randint(0, n_spk, size=batch).astype(np.int64)
+
+    # ---- flax: one train-mode loss + full gradient tree ----
+    step = _flax_step_fn(name, args, input_size, n_spk)
+    params = {"backbone": tree["params"]["backbone"],
+              "classifier": {"weight": jnp.asarray(w_cls)}}
+    stats = {"backbone": tree["batch_stats"]["backbone"]}
+    (loss_f, new_bstats), grads = step(params, stats, jnp.asarray(feats),
+                                       jnp.asarray(labels))
+    # materialize before the torch side runs (defense in depth vs the
+    # zero-copy aliasing noted in TrainP)
+    loss_f = float(loss_f)
+    new_bstats = jax.tree.map(np.asarray, new_bstats)
+    grads = jax.tree.map(np.asarray, grads)
+
+    # ---- torch: independent re-derivation (in-place BN stat update) ----
+    p = TrainP(state)
+    w_t = torch.from_numpy(w_cls.copy()).requires_grad_(True)
+    emb = torch_fwd(p, torch.from_numpy(feats))
+    loss_t = _torch_aam_head(emb, w_t, torch.from_numpy(labels))
+    loss_t.backward()
+
+    # 1. train-mode forward parity (batch-stat BN)
+    lt = float(loss_t.detach())
+    assert abs(loss_f - lt) / abs(lt) < 5e-3, (loss_f, lt)
+
+    # 2. gradient-tree parity: torch grads mapped through the converter
+    grad_state = {}
+    for k, v in p.s.items():
+        g = v.grad
+        grad_state[k] = (np.zeros(v.shape, np.float32) if g is None
+                         else g.detach().numpy())
+    gtree = _torch_state_to_tree(grad_state, name, input_size, args)
+    _assert_tree_close(_flat(jax.tree.map(np.asarray, grads["backbone"])),
+                       _flat(gtree["params"]["backbone"]), grad_tol,
+                       f"{name} backbone grads")
+    gw = np.asarray(grads["classifier"]["weight"])
+    rel = np.linalg.norm(gw - w_t.grad.numpy()) / np.linalg.norm(
+        w_t.grad.numpy())
+    assert rel < 1e-2, ("classifier grad", rel)
+
+    # 3. BN running-statistic update parity (torch updated in place).
+    # torch accumulates the UNBIASED batch variance where flax/paddle use
+    # the biased one — an O(1/N) convention gap, inside the tolerance
+    stat_state = {k: v.detach().numpy() for k, v in p.s.items()}
+    stree = _torch_state_to_tree(stat_state, name, input_size, args)
+    _assert_tree_close(
+        _flat(jax.tree.map(np.asarray, new_bstats)),
+        _flat(stree["batch_stats"]["backbone"]), 2e-2,
+        f"{name} BN running stats")
+
+
+def _delta_parity(name, args, input_size, t_len, torch_fwd, n_steps=3,
+                  lr=1e-5, momentum=0.9, batch=4, n_spk=8, seed=3,
+                  delta_tol=5e-2, floor_frac=1e-2, global_tol=5e-2):
+    """Integration: N SGD(momentum) steps from identical weights on
+    identical batches; compare accumulated parameter DELTAS. Deltas are
+    ~lr-sized, so rounding stays proportional (unlike the chaotic loss
+    trajectory) while still exercising momentum accumulation and
+    gradients evaluated at moved weights + updated BN stats."""
+    import optax
+
+    state, tree, w_cls, rng = _setup(name, args, input_size, seed, n_spk)
+    init_state = {k: np.array(v, np.float32, copy=True)
+                  for k, v in state.items()}
     batches = [(rng.randn(batch, t_len, input_size).astype(np.float32),
                 rng.randint(0, n_spk, size=batch).astype(np.int64))
                for _ in range(n_steps)]
 
-    # ---- flax side: the bench/trainer train step ----
-    import optax
-    model = MODELS[name](input_size=input_size, **args)
-    classifier = SpeakerIdentification(num_speakers=n_spk, num_blocks=0)
-    criterion = AAMLoss(margin=MARGIN, scale=SCALE)
-    tx = optax.adam(LR)
+    # ---- flax trajectory ----
+    step = _flax_step_fn(name, args, input_size, n_spk)
+    tx = optax.sgd(lr, momentum=momentum)
     params = {"backbone": tree["params"]["backbone"],
               "classifier": {"weight": jnp.asarray(w_cls)}}
     stats = {"backbone": tree["batch_stats"]["backbone"]}
     opt_state = tx.init(params)
+    params0 = jax.tree.map(np.asarray, params)
 
     @jax.jit
-    def step(params, stats, opt_state, feats, labels):
-        def loss_fn(p):
-            emb, mb = model.apply(
-                {"params": p["backbone"], "batch_stats": stats["backbone"]},
-                feats, train=True, mutable=["batch_stats"])
-            out = classifier.apply({"params": p["classifier"]},
-                                   emb.astype(jnp.float32), train=False)
-            return criterion(out, labels,
-                             margin=jnp.float32(MARGIN)), mb["batch_stats"]
-
-        (loss, new_bstats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+    def update(params, stats, opt_state, feats, labels):
+        (loss, new_bstats), grads = step(params, stats, feats, labels)
         updates, new_opt = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates),
                 {"backbone": new_bstats}, new_opt, loss)
 
-    flax_losses = []
     for feats, labels in batches:
-        params, stats, opt_state, loss = step(
+        params, stats, opt_state, _ = update(
             params, stats, opt_state, jnp.asarray(feats),
             jnp.asarray(labels))
-        flax_losses.append(float(loss))
+    delta_f = jax.tree.map(lambda a, b: np.asarray(a) - b, params, params0)
 
-    # ---- torch side: independent re-derivation ----
+    # ---- torch trajectory (same init, same batches, same optimizer) ----
     p = TrainP(state)
     w_t = torch.from_numpy(w_cls.copy()).requires_grad_(True)
-    opt = torch.optim.Adam(p.trainable() + [w_t], lr=LR)
-    torch_losses = []
+    opt = torch.optim.SGD(p.trainable() + [w_t], lr=lr, momentum=momentum)
     for feats, labels in batches:
         opt.zero_grad()
         emb = torch_fwd(p, torch.from_numpy(feats))
         loss = _torch_aam_head(emb, w_t, torch.from_numpy(labels))
         loss.backward()
         opt.step()
-        torch_losses.append(float(loss))
+    delta_state = {k: v.detach().numpy() - init_state[k]
+                   for k, v in p.s.items()}
+    dtree = _torch_state_to_tree(delta_state, name, input_size, args)
 
-    # per-step agreement: same losses => same grads/BN stats/Adam updates
-    # accumulated over every preceding step
-    for i, (lf, lt) in enumerate(zip(flax_losses, torch_losses)):
-        assert abs(lf - lt) / max(abs(lt), 1e-6) < 2e-3, (
-            i, flax_losses, torch_losses)
-    # the curve must actually move (a frozen model would trivially agree)
-    assert abs(flax_losses[-1] - flax_losses[0]) > 1e-4
+    flat_t = _flat(dtree["params"]["backbone"])
+    flat_f = _flat(delta_f["backbone"])
+    # the trajectories must actually move: global delta norm >> fp32
+    # quantization of the parameters themselves
+    gnorm = math.sqrt(sum(float((v.astype(np.float64) ** 2).sum())
+                          for v in flat_t.values()))
+    assert gnorm > 1e-6, gnorm
+    # global trajectory agreement: the whole-tree delta must track
+    err = math.sqrt(sum(float(((flat_f[k].astype(np.float64)
+                                - flat_t[k].astype(np.float64)) ** 2).sum())
+                        for k in flat_t))
+    assert err / gnorm < global_tol, (name, err / gnorm)
+    _assert_tree_close(flat_f, flat_t, delta_tol,
+                       f"{name} param deltas after {n_steps} SGD steps",
+                       floor_frac=floor_frac)
+    dw = np.asarray(delta_f["classifier"]["weight"])
+    dw_t = w_t.detach().numpy() - w_cls
+    assert np.linalg.norm(dw - dw_t) / np.linalg.norm(dw_t) < delta_tol
 
 
-def test_campplus_train_dynamics_match_torch():
-    _dynamics_parity("CAMPPlus", dict(embd_dim=32), input_size=40,
-                     t_len=250, torch_fwd=torch_campplus)
+# ---- float64 ground truth ------------------------------------------------
+# Both stacks run the SAME graph in float64 (subprocess: JAX_ENABLE_X64 is
+# process-global) and must agree to 1e-5 on every grad leaf. Measured, they
+# agree to ~1e-7 — proving the backward semantics IDENTICAL, which pins the
+# f32 gradient gap (up to ~2% on deep-trunk conv kernels, see below) to
+# rounding amplification, not a formula difference.
+
+_F64_CASES = {
+    "CAMPPlus": (dict(embd_dim=32), 40, 250, "campplus"),
+    "EcapaTdnn": (dict(channels=(32, 32, 32, 32, 96), res2net_scale=4,
+                       se_channels=16, attention_channels=16, embd_dim=16),
+                  40, 120, "ecapa"),
+}
+F64_TOL = 1e-5
 
 
-def test_ecapa_train_dynamics_match_torch():
+def _f64_groundtruth_main(name):
+    """Body of the x64 subprocess: flax-f64 vs torch-f64 grads."""
+    assert jax.config.jax_enable_x64, "must run with JAX_ENABLE_X64=1"
+    args, input_size, t_len, fwd_key = _F64_CASES[name]
+    torch_fwd = (torch_campplus if fwd_key == "campplus"
+                 else lambda p, x: torch_ecapa(p, x, scale=4))
+    batch, n_spk, seed = 4, 8, 3
+    state, tree, w_cls, rng = _setup(name, args, input_size, seed, n_spk)
+    feats = rng.randn(batch, t_len, input_size).astype(np.float32)
+    labels = rng.randint(0, n_spk, size=batch).astype(np.int64)
+
+    def to64(t):
+        return jax.tree.map(
+            lambda v: jnp.asarray(np.asarray(v), jnp.float64), t)
+
+    step = _flax_step_fn(name, args, input_size, n_spk)
+    params = {"backbone": to64(tree["params"]["backbone"]),
+              "classifier": {"weight": jnp.asarray(w_cls, jnp.float64)}}
+    stats = {"backbone": to64(tree["batch_stats"]["backbone"])}
+    (loss_f, _), grads = step(params, stats,
+                              jnp.asarray(feats, jnp.float64),
+                              jnp.asarray(labels))
+    flax_flat = _flat(jax.tree.map(np.asarray, grads["backbone"]))
+
+    p = TrainP(state)
+    for k in p.s:
+        p.s[k] = p.s[k].detach().to(torch.float64)
+        if not (k.endswith("._mean") or k.endswith("._variance")):
+            p.s[k].requires_grad_(True)
+    w_t = torch.from_numpy(w_cls.copy()).to(torch.float64)
+    w_t.requires_grad_(True)
+    emb = torch_fwd(p, torch.from_numpy(feats).to(torch.float64))
+    loss_t = _torch_aam_head(emb, w_t, torch.from_numpy(labels))
+    loss_t.backward()
+    gs = {k: (np.zeros(v.shape, np.float64) if v.grad is None
+              else v.grad.detach().numpy())
+          for k, v in p.s.items()}
+    t64 = _flat(_torch_state_to_tree(gs, name, input_size, args)
+                ["params"]["backbone"])
+
+    gnorm = math.sqrt(sum(float((v.astype(np.float64) ** 2).sum())
+                          for v in t64.values()))
+    maxrel = 0.0
+    for k in sorted(t64):
+        denom = max(float(np.linalg.norm(t64[k])), 1e-2 * gnorm, 1e-12)
+        rel = float(np.linalg.norm(
+            flax_flat[k].astype(np.float64) - t64[k])) / denom
+        maxrel = max(maxrel, rel)
+    gw = np.asarray(grads["classifier"]["weight"])
+    rel_cls = float(np.linalg.norm(gw - w_t.grad.numpy())
+                    / np.linalg.norm(w_t.grad.numpy()))
+    loss_rel = abs(float(loss_f) - float(loss_t.detach())) / abs(
+        float(loss_t.detach()))
+    print(f"MAXREL {max(maxrel, rel_cls, loss_rel):.6e}", flush=True)
+
+
+def _run_f64_groundtruth(name):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+    env.pop("XLA_FLAGS", None)  # no need for the 8-device CPU mesh here
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--f64", name],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("MAXREL")][-1]
+    maxrel = float(line.split()[1])
+    assert maxrel < F64_TOL, (name, maxrel)
+
+
+def test_campplus_grad_f64_groundtruth():
+    _run_f64_groundtruth("CAMPPlus")
+
+
+def test_ecapa_grad_f64_groundtruth():
+    _run_f64_groundtruth("EcapaTdnn")
+
+
+def test_campplus_grad_and_stat_parity():
+    # f32 grad tol 3e-2: the f64 ground truth above proves semantics match
+    # to ~1e-7; in f32 the 52-layer dense trunk amplifies conv rounding to
+    # a measured ~1.9% worst leaf (host-dependent), so 3e-2 is the measured
+    # rounding cost with headroom, not a parity concession.
+    _grad_and_stat_parity("CAMPPlus", dict(embd_dim=32), input_size=40,
+                          t_len=250, torch_fwd=torch_campplus,
+                          grad_tol=3e-2)
+
+
+def test_ecapa_grad_and_stat_parity():
     args = dict(channels=(32, 32, 32, 32, 96), res2net_scale=4,
                 se_channels=16, attention_channels=16, embd_dim=16)
-    _dynamics_parity("EcapaTdnn", args, input_size=40, t_len=120,
-                     torch_fwd=lambda p, x: torch_ecapa(p, x, scale=4))
+    _grad_and_stat_parity("EcapaTdnn", args, input_size=40, t_len=120,
+                          torch_fwd=lambda p, x: torch_ecapa(p, x, scale=4))
+
+
+def test_campplus_sgd_delta_parity():
+    # Wider tolerances than EcapaTdnn, pinned by measurement: each step's
+    # grads carry the ~2% deep-trunk f32 rounding (the f64 ground-truth
+    # tests prove semantics to ~1e-7), and 3 momentum steps on the
+    # 52-layer trunk compound it chaotically — measured global delta gap
+    # 7.0%, worst same-scale leaf ~6.5%, with only tiny (<3%-of-tree) BN
+    # leaves beyond that. The f64 check is the semantic arbiter; this
+    # bounds the f32 drift.
+    _delta_parity("CAMPPlus", dict(embd_dim=32), input_size=40,
+                  t_len=250, torch_fwd=torch_campplus,
+                  delta_tol=1e-1, floor_frac=1e-1, global_tol=0.15)
+
+
+def test_ecapa_sgd_delta_parity():
+    args = dict(channels=(32, 32, 32, 32, 96), res2net_scale=4,
+                se_channels=16, attention_channels=16, embd_dim=16)
+    _delta_parity("EcapaTdnn", args, input_size=40, t_len=120,
+                  torch_fwd=lambda p, x: torch_ecapa(p, x, scale=4))
+
+
+def test_adam_matches_torch_adam():
+    """optax.adam vs torch.optim.Adam on BITWISE-identical gradients (a
+    tiny deterministic quadratic): isolates optimizer-parity from conv
+    rounding, which the factored checks above deliberately avoid."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(16).astype(np.float32)
+    targets = [rng.randn(16).astype(np.float32) for _ in range(10)]
+
+    tx = optax.adam(1e-2)
+    w_j = jnp.asarray(w0)
+    state = tx.init(w_j)
+
+    @jax.jit
+    def step(w, state, tgt):
+        g = 2.0 * (w - tgt)            # grad of ||w - tgt||^2
+        up, state = tx.update(g, state, w)
+        return optax.apply_updates(w, up), state
+
+    w_t = torch.from_numpy(w0.copy()).requires_grad_(True)
+    opt = torch.optim.Adam([w_t], lr=1e-2)
+    for tgt in targets:
+        w_j, state = step(w_j, state, jnp.asarray(tgt))
+        opt.zero_grad()
+        loss = ((w_t - torch.from_numpy(tgt)) ** 2).sum()
+        loss.backward()
+        opt.step()
+        np.testing.assert_allclose(np.asarray(w_j),
+                                   w_t.detach().numpy(),
+                                   rtol=0, atol=1e-6)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--f64":
+        _f64_groundtruth_main(sys.argv[2])
+    else:
+        raise SystemExit("usage: test_train_dynamics_parity.py --f64 NAME")
