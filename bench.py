@@ -49,6 +49,10 @@ BASELINE_UTT_PER_SEC = 480.0
 TOTAL_BUDGET_S = float(os.environ.get("VPR_BENCH_BUDGET", "2900"))
 PROBE_TIMEOUT_S = 150.0
 PHASE_TIMEOUT_S = 1100.0   # per phase attempt (first compile can be slow)
+# the embed program's fresh remote compile is ~6 min on this lab's
+# tunneled chip; give the first (full-stack) attempt more rope before
+# falling back to pure XLA
+EMBED_FIRST_TIMEOUT_S = 1500.0
 
 
 def _setup_jax_cache():
@@ -301,11 +305,17 @@ def main():
 
     # embed: degrade the kernel stack across FRESH processes — one
     # unsupported construct must not forfeit the rest of the stack
+    # NOTE the default stack at 3 s buckets is already fbank kernel +
+    # XLA FCM (measured crossover at 1000 frames) + unrolled trunk with
+    # matmul CAM gates (uniform-gate reshape variant is opt-in: its
+    # fresh Mosaic compile blew a 15-min budget), so the only meaningful
+    # degradation left is dropping to pure XLA.
+    # The looped-trunk rung trades ~2 ms/batch of step time for a ~25 s
+    # fresh compile (vs ~6 min unrolled) — a far smaller window for this
+    # lab's tunnel to wedge in, and a round-3 device-proven program.
     attempts = [
         ("full kernel stack", {}),
-        ("matmul CAM gates", {"VPR_TRUNK_UNIFORM_GATES": "0"}),
-        ("XLA FCM", {"VPR_TRUNK_UNIFORM_GATES": "0",
-                     "VPR_FCM_PALLAS": "0"}),
+        ("looped trunk kernel", {"VPR_TRUNK_VARIANT": "looped"}),
         ("pure XLA", {"VPR_BENCH_XLA": "1"}),
     ]
     embed = None
@@ -313,7 +323,8 @@ def main():
         if remaining() < 120:
             errors.append(f"embed: budget exhausted before '{desc}'")
             break
-        embed, err = _run_phase("embed", budget(PHASE_TIMEOUT_S), flags)
+        want = EMBED_FIRST_TIMEOUT_S if not flags else PHASE_TIMEOUT_S
+        embed, err = _run_phase("embed", budget(want), flags)
         if embed is not None:
             if flags:
                 msg = f"embed: degraded to '{desc}'"

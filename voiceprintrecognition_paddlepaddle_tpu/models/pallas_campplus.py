@@ -119,8 +119,13 @@ _RANGE = 8
 # uniform-bucket CAM gating (unrolled kernel): compute segment pooling /
 # gate scatter with static reshape reductions instead of the pt/ssel
 # matmuls when every utterance has the same valid length (the
-# exact-length serving hot path). VPR_TRUNK_UNIFORM_GATES=0 disables.
-_UNIFORM_GATES = os.environ.get("VPR_TRUNK_UNIFORM_GATES", "1") != "0"
+# exact-length serving hot path). OFF by default: the per-layer slice
+# reductions deepen the 52-layer unrolled body enough that the fresh
+# Mosaic compile never finished inside a 15-minute device budget
+# (vs ~0.5 ms projected step win on a 13.5 ms path) — opt in with
+# VPR_TRUNK_UNIFORM_GATES=1 for long-lived servers that amortise the
+# compile behind the persistent cache.
+_UNIFORM_GATES = os.environ.get("VPR_TRUNK_UNIFORM_GATES", "0") == "1"
 
 
 def _use_looped(t_pad):
