@@ -19,6 +19,7 @@ f_min 50); Fbank mirrors ``paddleaudio.compliance.kaldi.fbank``.
 """
 
 import math
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -178,16 +179,23 @@ def mfcc(waveforms, sr=16000, n_mfcc=40, norm="ortho", ref_value=1.0,
     return jnp.matmul(logmel, dct, preferred_element_type=jnp.float32)
 
 
+def _fbank_kernel_eligible(use_pallas, kwargs):
+    """True when the fused Pallas fbank kernel handles this configuration
+    (standard kaldi options on a TPU backend; any extra kaldi arg —
+    including ``dither`` — needs the jnp path)."""
+    standard = not kwargs
+    if use_pallas == "auto":
+        use_pallas = standard and jax.default_backend() == "tpu"
+    return bool(use_pallas and standard)
+
+
 def _fbank_dispatch(waveforms, sr=16000, n_mels=23, use_pallas="auto",
                     rng=None, **kwargs):
     """Fbank entry: routes standard configurations to the fused Pallas
     kernel on TPU (4-5x faster than the jnp matmul path on v5e), falling
     back to ``kaldi.fbank`` for CPU or non-default kaldi options (including
     ``dither``, which needs the PRNG key ``rng``)."""
-    standard = not kwargs  # any non-default kaldi arg -> jnp path
-    if use_pallas == "auto":
-        use_pallas = standard and jax.default_backend() == "tpu"
-    if use_pallas and standard:
+    if _fbank_kernel_eligible(use_pallas, kwargs):
         from .pallas_fbank import fbank_pallas
         return fbank_pallas(waveforms, sr=sr, n_mels=n_mels)
     return kaldi.fbank(waveforms, sr=sr, n_mels=n_mels, rng=rng, **kwargs)
@@ -229,6 +237,18 @@ def compute_feature(waveforms, feature_method="MelSpectrogram",
     kwargs = dict(defaults)
     kwargs.update(method_args)
     if feature_method == "Fbank":
+        extra = {k: v for k, v in kwargs.items() if k not in ("sr", "n_mels")}
+        use_pallas = extra.pop("use_pallas", "auto")
+        if (_fbank_kernel_eligible(use_pallas, extra)
+                and os.environ.get("VPR_FBANK_CMN", "1") != "0"):
+            # fold CMN + tail masking into the kernel's final pass — the
+            # feature map skips one full HBM read+write round-trip
+            # (same arithmetic as apply_cmn_and_mask; parity tests in
+            # tests/test_pallas_fbank.py)
+            from .pallas_fbank import fbank_pallas
+            return fbank_pallas(waveforms, sr=kwargs.get("sr", 16000),
+                                n_mels=kwargs.get("n_mels", 23), cmn=True,
+                                input_lens_ratio=input_lens_ratio)
         kwargs["rng"] = rng
     feature = fn(waveforms, **kwargs)
     return apply_cmn_and_mask(feature, input_lens_ratio)

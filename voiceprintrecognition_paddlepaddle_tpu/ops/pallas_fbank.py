@@ -76,15 +76,27 @@ def _folded_dft_np(frame_len, n_fft, preemph=0.97):
     return c.astype(np.float64)
 
 
-def _kernel(x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref, *, n_bins,
-            log_eps, shifts, n_chunks):
+def _kernel(*refs, n_bins, log_eps, shifts, n_chunks, cmn=False, u=1,
+            rows_blk=0):
     """One (batch-step, bin-chunk) grid cell: the DFT accumulation is
     split across the SECOND grid dimension — each cell computes a
     contiguous chunk of [cos | sin] spectrum lanes and accumulates its
     partial mel projection into the revisited out block. Splitting the
     lanes keeps per-cell temporaries small, which lifts the scoped-VMEM
     ceiling that capped row blocks at u=4 (ROADMAP round-2: 2.6 ms where
-    the matmuls cost ~1 ms)."""
+    the matmuls cost ~1 ms).
+
+    With ``cmn`` the per-utterance cepstral mean subtraction + padded-tail
+    zeroing (``features.apply_cmn_and_mask`` semantics) runs in the final
+    bin-chunk pass while the log-mel block is still VMEM-resident, saving
+    the separate HBM read+write round-trip of the feature map. Valid-frame
+    counts arrive pre-broadcast per row (``cnt_ref``, 4 B/row — noise next
+    to the saved feature-map traffic); the block holds ``u`` utterances of
+    ``rows_blk`` rows each."""
+    if cmn:
+        x_ref, cnt_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref = refs
+    else:
+        x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref = refs
     c = pl.program_id(1)
     x = x_ref[:]                                           # (R, shift) f32
     x_hi = x.astype(jnp.bfloat16)
@@ -114,18 +126,46 @@ def _kernel(x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref, *, n_bins,
 
     @pl.when(c == n_chunks - 1)
     def _():
-        out_ref[:] = jnp.log(jnp.maximum(out_ref[:], log_eps))
+        lm = jnp.log(jnp.maximum(out_ref[:], log_eps))
+        if not cmn:
+            out_ref[:] = lm
+            return
+        rows = lm.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        frame = row % rows_blk
+        utt = row // rows_blk
+        cnt = cnt_ref[:]                                     # (rows, 1)
+        valid = frame < cnt                                  # (rows, 1)
+        # per-utterance masked mean via two skinny matmuls (K=rows, N=u):
+        # onehot[r, j] = 1 iff row r is a VALID frame of utterance j
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, u), 1)
+        onehot = ((utt == jcol) & valid).astype(jnp.float32)  # (rows, u)
+        sums = jax.lax.dot_general(                           # (u, n_mels)
+            onehot, lm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        denom = jnp.maximum(cnt, 1).astype(jnp.float32)       # (rows, 1)
+        mean_row = jnp.dot(onehot, sums,
+                           preferred_element_type=jnp.float32) / denom
+        out_ref[:] = jnp.where(valid, lm - mean_row, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_mels", "frame_length",
-                                             "frame_shift", "interpret"))
+                                             "frame_shift", "interpret",
+                                             "cmn"))
 def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
                  frame_length: float = 25.0, frame_shift: float = 10.0,
-                 interpret: bool = False):
+                 interpret: bool = False, cmn: bool = False,
+                 input_lens_ratio=None):
     """Batched kaldi fbank ``(B, L) -> (B, T, n_mels)``, fused on TPU.
 
     Defaults (povey window, preemph 0.97, DC removal, power spectrum,
     low 20 Hz / high Nyquist, dither 0) mirror ``kaldi.fbank``.
+
+    ``cmn=True`` folds ``features.apply_cmn_and_mask`` into the kernel's
+    final pass (per-utterance mean over the valid frames subtracted,
+    padded tail zeroed) — exact same arithmetic, but the feature map never
+    makes the extra HBM round-trip. ``input_lens_ratio`` (B,) gives each
+    utterance's valid-length fraction; ``None`` means full length.
     """
     waveforms = jnp.asarray(waveforms, jnp.float32)
     b, num_samples = waveforms.shape
@@ -197,24 +237,41 @@ def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
 
     kernel = functools.partial(
         _kernel, n_bins=cb, log_eps=float(np.finfo(np.float32).eps),
-        shifts=(1, 2), n_chunks=n_chunks)
+        shifts=(1, 2), n_chunks=n_chunks, cmn=cmn, u=u,
+        rows_blk=rows // u)
     grid = (x.shape[0] // rows, n_chunks)
-    wspec = lambda a: pl.BlockSpec((1,) + a.shape[1:],
-                                   lambda i, c: (c, 0, 0),
-                                   memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows, shift), lambda i, c: (i, 0),
-                         memory_space=pltpu.VMEM),
-            wspec(w0), wspec(w1), wspec(w2), wspec(mel),
-        ],
-        out_specs=pl.BlockSpec((rows, n_mels), lambda i, c: (i, 0),
-                               memory_space=pltpu.VMEM),
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((x.shape[0], n_mels), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(x, w0, w1, w2, mel)
+    )
+    wspec = lambda a: pl.BlockSpec((1,) + a.shape[1:],
+                                   lambda i, c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    in_arrays = [x, w0, w1, w2, mel]
+    in_specs = [
+        pl.BlockSpec((rows, shift), lambda i, c: (i, 0),
+                     memory_space=pltpu.VMEM),
+        wspec(w0), wspec(w1), wspec(w2), wspec(mel),
+    ]
+    if cmn:
+        if input_lens_ratio is None:
+            counts = jnp.full((b,), t, jnp.int32)
+        else:
+            # exact apply_cmn_and_mask arithmetic: floor(ratio * T)
+            counts = (jnp.asarray(input_lens_ratio, jnp.float32)
+                      * t).astype(jnp.int32)
+        cnt_rows = jnp.repeat(counts, rows // u)[:, None]    # (B*rows_blk, 1)
+        in_arrays.insert(1, cnt_rows)
+        in_specs.insert(1, pl.BlockSpec((rows, 1), lambda i, c: (i, 0),
+                                        memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, n_mels), lambda i, c: (i, 0),
+                               memory_space=pltpu.VMEM),
+        **common,
+    )(*in_arrays)
     return out.reshape(b_pad, -1, n_mels)[:b, :t]
