@@ -315,10 +315,8 @@ def main():
     # lab's tunnel to wedge in, and a round-3 device-proven program.
     attempts = [
         ("full kernel stack", {}),
-        ("cmn fold off", {"VPR_FBANK_CMN": "0"}),
-        ("looped trunk kernel", {"VPR_TRUNK_VARIANT": "looped",
-                                 "VPR_FBANK_CMN": "0"}),
-        ("pure XLA", {"VPR_BENCH_XLA": "1", "VPR_FBANK_CMN": "0"}),
+        ("looped trunk kernel", {"VPR_TRUNK_VARIANT": "looped"}),
+        ("pure XLA", {"VPR_BENCH_XLA": "1", "VPR_FBANK_PALLAS": "0"}),
     ]
     embed = None
     for desc, flags in attempts:
@@ -338,18 +336,19 @@ def main():
               file=sys.stderr, flush=True)
 
     def _train_with_fallback(name):
-        """One retry with the fbank CMN fold off — the fold is the only
-        fresh kernel construct in the train phases' feature path."""
+        """One retry with the Pallas fbank kernel off — the kernel is the
+        only Pallas construct in the train phases' feature path; one
+        unsupported construct must not forfeit the train numbers."""
         if remaining() < 120:
             return None, "skipped: budget exhausted"
         result, err0 = _run_phase(name, budget(PHASE_TIMEOUT_S))
         if result is not None or remaining() < 120:
             return result, err0
-        errors.append(f"{name}[cmn fold]: {err0}")
+        errors.append(f"{name}[fbank kernel]: {err0}")
         result, err0 = _run_phase(name, budget(PHASE_TIMEOUT_S),
-                                  {"VPR_FBANK_CMN": "0"})
+                                  {"VPR_FBANK_PALLAS": "0"})
         if result is not None:
-            errors.append(f"{name}: degraded to 'cmn fold off'")
+            errors.append(f"{name}: degraded to 'fbank kernel off'")
         return result, err0
 
     train, err = _train_with_fallback("train_ecapa")

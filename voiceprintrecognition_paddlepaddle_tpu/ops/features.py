@@ -182,7 +182,13 @@ def mfcc(waveforms, sr=16000, n_mfcc=40, norm="ortho", ref_value=1.0,
 def _fbank_kernel_eligible(use_pallas, kwargs):
     """True when the fused Pallas fbank kernel handles this configuration
     (standard kaldi options on a TPU backend; any extra kaldi arg —
-    including ``dither`` — needs the jnp path)."""
+    including ``dither`` — needs the jnp path).
+
+    ``VPR_FBANK_PALLAS=0`` force-disables the kernel regardless of backend
+    — bench.py's "pure XLA" degradation rung and any part where the kernel
+    fails to lower rely on this escape hatch."""
+    if os.environ.get("VPR_FBANK_PALLAS", "1") == "0":
+        return False
     standard = not kwargs
     if use_pallas == "auto":
         use_pallas = standard and jax.default_backend() == "tpu"
@@ -237,18 +243,9 @@ def compute_feature(waveforms, feature_method="MelSpectrogram",
     kwargs = dict(defaults)
     kwargs.update(method_args)
     if feature_method == "Fbank":
-        extra = {k: v for k, v in kwargs.items() if k not in ("sr", "n_mels")}
-        use_pallas = extra.pop("use_pallas", "auto")
-        if (_fbank_kernel_eligible(use_pallas, extra)
-                and os.environ.get("VPR_FBANK_CMN", "1") != "0"):
-            # fold CMN + tail masking into the kernel's final pass — the
-            # feature map skips one full HBM read+write round-trip
-            # (same arithmetic as apply_cmn_and_mask; parity tests in
-            # tests/test_pallas_fbank.py)
-            from .pallas_fbank import fbank_pallas
-            return fbank_pallas(waveforms, sr=kwargs.get("sr", 16000),
-                                n_mels=kwargs.get("n_mels", 23), cmn=True,
-                                input_lens_ratio=input_lens_ratio)
+        # CMN stays a separate XLA op: folding it into the Pallas kernel's
+        # final pass was device-measured SLOWER (1.66 vs 1.53 ms/iter at
+        # b256 x 3 s) and less precise — see ROADMAP "Measured decisions"
         kwargs["rng"] = rng
     feature = fn(waveforms, **kwargs)
     return apply_cmn_and_mask(feature, input_lens_ratio)

@@ -76,8 +76,7 @@ def _folded_dft_np(frame_len, n_fft, preemph=0.97):
     return c.astype(np.float64)
 
 
-def _kernel(*refs, n_bins, log_eps, shifts, n_chunks, cmn=False, u=1,
-            rows_blk=0):
+def _kernel(*refs, n_bins, log_eps, shifts, n_chunks):
     """One (batch-step, bin-chunk) grid cell: the DFT accumulation is
     split across the SECOND grid dimension — each cell computes a
     contiguous chunk of [cos | sin] spectrum lanes and accumulates its
@@ -86,17 +85,14 @@ def _kernel(*refs, n_bins, log_eps, shifts, n_chunks, cmn=False, u=1,
     ceiling that capped row blocks at u=4 (ROADMAP round-2: 2.6 ms where
     the matmuls cost ~1 ms).
 
-    With ``cmn`` the per-utterance cepstral mean subtraction + padded-tail
-    zeroing (``features.apply_cmn_and_mask`` semantics) runs in the final
-    bin-chunk pass while the log-mel block is still VMEM-resident, saving
-    the separate HBM read+write round-trip of the feature map. Valid-frame
-    counts arrive pre-broadcast per row (``cnt_ref``, 4 B/row — noise next
-    to the saved feature-map traffic); the block holds ``u`` utterances of
-    ``rows_blk`` rows each."""
-    if cmn:
-        x_ref, cnt_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref = refs
-    else:
-        x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref = refs
+    CMN is NOT fused here: a round-5 device A/B (ROADMAP "Measured
+    decisions") showed folding apply_cmn_and_mask into this final pass
+    runs 1.66 vs 1.53 ms/iter at b256 x 3 s — the onehot mean matmuls
+    (K~4.8k, N=u=16, 12% lane occupancy) cost more than the ~0.06 ms
+    feature-map HBM round-trip they save, and the bf16 MXU truncation
+    widened parity from 2e-3 to 2e-2. The fold was deleted (it lived at
+    commit 3f59e1b)."""
+    x_ref, w0_ref, w1_ref, w2_ref, mel_ref, out_ref = refs
     c = pl.program_id(1)
     x = x_ref[:]                                           # (R, shift) f32
     x_hi = x.astype(jnp.bfloat16)
@@ -126,46 +122,20 @@ def _kernel(*refs, n_bins, log_eps, shifts, n_chunks, cmn=False, u=1,
 
     @pl.when(c == n_chunks - 1)
     def _():
-        lm = jnp.log(jnp.maximum(out_ref[:], log_eps))
-        if not cmn:
-            out_ref[:] = lm
-            return
-        rows = lm.shape[0]
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        frame = row % rows_blk
-        utt = row // rows_blk
-        cnt = cnt_ref[:]                                     # (rows, 1)
-        valid = frame < cnt                                  # (rows, 1)
-        # per-utterance masked mean via two skinny matmuls (K=rows, N=u):
-        # onehot[r, j] = 1 iff row r is a VALID frame of utterance j
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, u), 1)
-        onehot = ((utt == jcol) & valid).astype(jnp.float32)  # (rows, u)
-        sums = jax.lax.dot_general(                           # (u, n_mels)
-            onehot, lm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        denom = jnp.maximum(cnt, 1).astype(jnp.float32)       # (rows, 1)
-        mean_row = jnp.dot(onehot, sums,
-                           preferred_element_type=jnp.float32) / denom
-        out_ref[:] = jnp.where(valid, lm - mean_row, 0.0)
+        out_ref[:] = jnp.log(jnp.maximum(out_ref[:], log_eps))
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_mels", "frame_length",
-                                             "frame_shift", "interpret",
-                                             "cmn"))
+                                             "frame_shift", "interpret"))
 def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
                  frame_length: float = 25.0, frame_shift: float = 10.0,
-                 interpret: bool = False, cmn: bool = False,
-                 input_lens_ratio=None):
+                 interpret: bool = False):
     """Batched kaldi fbank ``(B, L) -> (B, T, n_mels)``, fused on TPU.
 
     Defaults (povey window, preemph 0.97, DC removal, power spectrum,
-    low 20 Hz / high Nyquist, dither 0) mirror ``kaldi.fbank``.
-
-    ``cmn=True`` folds ``features.apply_cmn_and_mask`` into the kernel's
-    final pass (per-utterance mean over the valid frames subtracted,
-    padded tail zeroed) — exact same arithmetic, but the feature map never
-    makes the extra HBM round-trip. ``input_lens_ratio`` (B,) gives each
-    utterance's valid-length fraction; ``None`` means full length.
+    low 20 Hz / high Nyquist, dither 0) mirror ``kaldi.fbank``. CMN/tail
+    masking stays outside (``features.apply_cmn_and_mask``): the in-kernel
+    fold was device-measured slower and deleted (see ``_kernel``).
     """
     waveforms = jnp.asarray(waveforms, jnp.float32)
     b, num_samples = waveforms.shape
@@ -237,8 +207,7 @@ def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
 
     kernel = functools.partial(
         _kernel, n_bins=cb, log_eps=float(np.finfo(np.float32).eps),
-        shifts=(1, 2), n_chunks=n_chunks, cmn=cmn, u=u,
-        rows_blk=rows // u)
+        shifts=(1, 2), n_chunks=n_chunks)
     grid = (x.shape[0] // rows, n_chunks)
     common = dict(
         out_shape=jax.ShapeDtypeStruct((x.shape[0], n_mels), jnp.float32),
@@ -255,17 +224,6 @@ def fbank_pallas(waveforms, sr: int = 16000, n_mels: int = 80,
                      memory_space=pltpu.VMEM),
         wspec(w0), wspec(w1), wspec(w2), wspec(mel),
     ]
-    if cmn:
-        if input_lens_ratio is None:
-            counts = jnp.full((b,), t, jnp.int32)
-        else:
-            # exact apply_cmn_and_mask arithmetic: floor(ratio * T)
-            counts = (jnp.asarray(input_lens_ratio, jnp.float32)
-                      * t).astype(jnp.int32)
-        cnt_rows = jnp.repeat(counts, rows // u)[:, None]    # (B*rows_blk, 1)
-        in_arrays.insert(1, cnt_rows)
-        in_specs.insert(1, pl.BlockSpec((rows, 1), lambda i, c: (i, 0),
-                                        memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
         grid=grid,
