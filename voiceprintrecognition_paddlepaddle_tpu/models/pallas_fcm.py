@@ -251,7 +251,7 @@ def pack_fcm(variables, compute_dtype=jnp.bfloat16):
 def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
             w5_ref, w6_ref, w7_ref, w8_ref, w9_ref, w10_ref, w11_ref,
             aff_ref, out_ref, a_s, b_s, c_s, d_s, p_s, p16_s, psc_s, *,
-            t2p, compute_dtype):
+            t2p, compute_dtype, ablate_copies=False):
     f32 = jnp.float32
     cd = compute_dtype
     m0, m2, m3 = FG0 * t2p, 10 * t2p, 5 * t2p
@@ -269,7 +269,14 @@ def _kernel(x1_ref, mask_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
 
     def copy(pref, d0, width, s, src, l0, m):
         """pref[r, d0:d0+width] = src[r + s, l0:l0+width] with zero fill
-        past the array (the frequency/time 'same' padding)."""
+        past the array (the frequency/time 'same' padding).
+
+        ``ablate_copies`` turns every patch copy into a no-op (matmuls
+        read stale scratch) — timing-only mode for
+        ``tools/fcm_ablation_bench.py``, which decomposes the kernel's
+        device time into im2col-copy vs matmul cost."""
+        if ablate_copies:
+            return
         if s >= 0:
             pref[0:m - s, d0:d0 + width] = src[s:m, l0:l0 + width]
             if s:
@@ -387,8 +394,9 @@ def _degroup(out, b, n_groups, t):
     return out.reshape(b, 2 * n_groups, 10 * _C)[:, :t]
 
 
-@functools.partial(jax.jit, static_argnames=("t", "t2p", "interpret"))
-def _fcm_call(packed, x1, *, t, t2p, interpret):
+@functools.partial(jax.jit, static_argnames=("t", "t2p", "interpret",
+                                             "ablate_copies"))
+def _fcm_call(packed, x1, *, t, t2p, interpret, ablate_copies=False):
     b = x1.shape[0]
     cd = packed["w1"].dtype
 
@@ -397,7 +405,8 @@ def _fcm_call(packed, x1, *, t, t2p, interpret):
     mask = (2 * jnp.arange(t2p)[:, None]
             + (jnp.arange(128)[None, :] // 32) % 2 < t).astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, t2p=t2p, compute_dtype=cd)
+    kernel = functools.partial(_kernel, t2p=t2p, compute_dtype=cd,
+                               ablate_copies=ablate_copies)
     const = lambda *shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     m0, m1, m2, m3 = FG0 * t2p, 20 * t2p, 10 * t2p, 5 * t2p
