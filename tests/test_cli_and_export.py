@@ -10,6 +10,8 @@ import wave as wave_mod
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
 import yaml
 
 from voiceprintrecognition_paddlepaddle_tpu.predict import Predictor

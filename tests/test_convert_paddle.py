@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
 import yaml
 
 from tools.convert_paddle_checkpoint import (SPECS, _flatten_perm, _t_conv1d,

@@ -59,8 +59,13 @@ _SMALL_ECAPA = lambda: MODELS["EcapaTdnn"](input_size=80, embd_dim=64,
                                            **SMALL["EcapaTdnn"])
 
 
-@pytest.mark.parametrize("name", ["TDNN", "EcapaTdnn", "CAMPPlus",
-                                  "ERes2NetV2"])
+@pytest.mark.parametrize("name", [
+    "TDNN", "EcapaTdnn",
+    # the 2-D trunks compile ~25-30 s each on a 1-core CPU host; keep
+    # them out of the < 5-min fast tier (they still run in the full suite)
+    pytest.param("CAMPPlus", marks=pytest.mark.slow),
+    pytest.param("ERes2NetV2", marks=pytest.mark.slow),
+])
 def test_backbone_forward_finite(name):
     model = MODELS[name](input_size=80, embd_dim=64, **SMALL[name])
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 98, 80))

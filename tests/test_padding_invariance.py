@@ -6,6 +6,8 @@ padding and its embeddings drift (cos 0.80-0.95 at 2-4x padding)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
+
 from voiceprintrecognition_paddlepaddle_tpu.models import MODELS
 from voiceprintrecognition_paddlepaddle_tpu.ops.features import compute_feature
 

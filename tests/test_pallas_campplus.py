@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
+
 from voiceprintrecognition_paddlepaddle_tpu.models import CAMPPlus
 from voiceprintrecognition_paddlepaddle_tpu.models.campplus import FCM
 from voiceprintrecognition_paddlepaddle_tpu.models.pallas_campplus import (

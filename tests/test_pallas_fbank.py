@@ -2,6 +2,9 @@
 CPU; the same kernel compiles for the TPU in bench.py)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: excluded from fast tier
 
 from voiceprintrecognition_paddlepaddle_tpu.ops import kaldi
 from voiceprintrecognition_paddlepaddle_tpu.ops.pallas_fbank import fbank_pallas

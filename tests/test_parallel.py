@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
 from jax.sharding import PartitionSpec as P
 
 from voiceprintrecognition_paddlepaddle_tpu.parallel import (

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
+
 torch = pytest.importorskip(
     "torch", reason="cross-framework validation needs torch (CPU)")
 import torch.nn.functional as tF  # noqa: E402

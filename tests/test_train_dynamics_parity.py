@@ -59,7 +59,10 @@ from voiceprintrecognition_paddlepaddle_tpu.models.fc import (  # noqa: E402
 
 from test_convert_paddle import (_model_tree_shapes,  # noqa: E402
                                  _synth_paddle_state)
-from test_torch_crosscheck import P, torch_campplus, torch_ecapa  # noqa: E402
+from test_torch_crosscheck import (P, torch_campplus,  # noqa: E402
+                                   torch_ecapa, torch_eres2net,
+                                   torch_eres2netv2, torch_res2net,
+                                   torch_resnet_se, torch_tdnn)
 
 pytestmark = pytest.mark.slow
 
@@ -84,10 +87,23 @@ class TrainP(P):
                 v.requires_grad_(True)
 
     def bn(self, x, key):
-        return tF.batch_norm(x, self(key + "._mean"),
-                             self(key + "._variance"),
-                             self(key + ".weight"), self(key + ".bias"),
-                             training=True, momentum=0.1, eps=1e-5)
+        # Normalize by batch statistics; update the running stats by hand
+        # with the BIASED batch variance — paddle (reference
+        # ``nn.BatchNorm1D`` semantics) and flax both accumulate the
+        # biased variance, while ``tF.batch_norm``'s in-place update uses
+        # the unbiased one (an O(1/N) gap that at batch 4 on the
+        # post-pooling BN reaches ~7% of the leaf — convention, not
+        # parity, so match the convention exactly here).
+        out = tF.batch_norm(x, None, None,
+                            self(key + ".weight"), self(key + ".bias"),
+                            training=True, momentum=0.1, eps=1e-5)
+        with torch.no_grad():
+            dims = [0] + list(range(2, x.dim()))
+            m = x.mean(dim=dims)
+            v = x.var(dim=dims, unbiased=False)
+            self(key + "._mean").mul_(0.9).add_(0.1 * m)
+            self(key + "._variance").mul_(0.9).add_(0.1 * v)
+        return out
 
     def trainable(self):
         return [v for k, v in self.s.items()
@@ -221,9 +237,9 @@ def _grad_and_stat_parity(name, args, input_size, t_len, torch_fwd,
         w_t.grad.numpy())
     assert rel < 1e-2, ("classifier grad", rel)
 
-    # 3. BN running-statistic update parity (torch updated in place).
-    # torch accumulates the UNBIASED batch variance where flax/paddle use
-    # the biased one — an O(1/N) convention gap, inside the tolerance
+    # 3. BN running-statistic update parity (torch side updated in place
+    # by TrainP.bn with the same biased-variance convention paddle/flax
+    # use, so this is rounding-only)
     stat_state = {k: v.detach().numpy() for k, v in p.s.items()}
     stree = _torch_state_to_tree(stat_state, name, input_size, args)
     _assert_tree_close(
@@ -313,10 +329,22 @@ def _delta_parity(name, args, input_size, t_len, torch_fwd, n_steps=3,
 # rounding amplification, not a formula difference.
 
 _F64_CASES = {
-    "CAMPPlus": (dict(embd_dim=32), 40, 250, "campplus"),
+    # name: (model_args, input_size, t_len, torch_fwd) — all 7 backbones
+    # (VERDICT r4 item 6); tiny configs identical to the forward
+    # cross-checks in test_torch_crosscheck.py
+    "CAMPPlus": (dict(embd_dim=32), 40, 250, torch_campplus),
     "EcapaTdnn": (dict(channels=(32, 32, 32, 32, 96), res2net_scale=4,
                        se_channels=16, attention_channels=16, embd_dim=16),
-                  40, 120, "ecapa"),
+                  40, 120, lambda p, x: torch_ecapa(p, x, scale=4)),
+    "TDNN": (dict(channels=32, embd_dim=16), 40, 120, torch_tdnn),
+    "Res2Net": (dict(m_channels=8, layers=(1, 1, 1, 1), embd_dim=16),
+                80, 96, lambda p, x: torch_res2net(p, x, m=8)),
+    "ResNetSE": (dict(num_filters=(8, 8, 16, 16), layers=(1, 1, 1, 1),
+                      embd_dim=16), 40, 96, torch_resnet_se),
+    "ERes2Net": (dict(m_channels=8, num_blocks=(1, 1, 1, 1), embd_dim=16),
+                 40, 96, lambda p, x: torch_eres2net(p, x, m=8)),
+    "ERes2NetV2": (dict(m_channels=8, num_blocks=(1, 1, 1, 1), embd_dim=16),
+                   40, 96, lambda p, x: torch_eres2netv2(p, x, m=8)),
 }
 F64_TOL = 1e-5
 
@@ -324,9 +352,7 @@ F64_TOL = 1e-5
 def _f64_groundtruth_main(name):
     """Body of the x64 subprocess: flax-f64 vs torch-f64 grads."""
     assert jax.config.jax_enable_x64, "must run with JAX_ENABLE_X64=1"
-    args, input_size, t_len, fwd_key = _F64_CASES[name]
-    torch_fwd = (torch_campplus if fwd_key == "campplus"
-                 else lambda p, x: torch_ecapa(p, x, scale=4))
+    args, input_size, t_len, torch_fwd = _F64_CASES[name]
     batch, n_spk, seed = 4, 8, 3
     state, tree, w_cls, rng = _setup(name, args, input_size, seed, n_spk)
     feats = rng.randn(batch, t_len, input_size).astype(np.float32)
@@ -434,6 +460,55 @@ def test_ecapa_sgd_delta_parity():
                 se_channels=16, attention_channels=16, embd_dim=16)
     _delta_parity("EcapaTdnn", args, input_size=40, t_len=120,
                   torch_fwd=lambda p, x: torch_ecapa(p, x, scale=4))
+
+
+# ---- remaining 5 backbones (VERDICT r4 item 6): same factored checks ----
+# Configs live in _F64_CASES above (shared with the f64 ground truth).
+# CAMPPlus/EcapaTdnn keep their dedicated tests above; these parametrize
+# the other 5. Tolerances start at the harness defaults and are widened
+# only where measured f32 rounding demands it (annotated per case).
+
+_NEW_NAMES = ["ERes2Net", "ERes2NetV2", "Res2Net", "ResNetSE", "TDNN"]
+
+# f32 tolerances per backbone, pinned by measurement: the f64 ground
+# truth proves every backward semantic identical (<1e-5, measured ~1e-7),
+# so the f32 gap is rounding amplification through the 2-D stacks at tiny
+# channel counts. Worst grad leaves measured (this host): ERes2NetV2
+# 0.107, ERes2Net 0.117, Res2Net 0.021, ResNetSE 0.012 — always BN
+# scale/bias or early conv kernels, while the classifier grad and the
+# whole-tree norms agree to <1%.
+_GRAD_TOL = {"TDNN": 1e-2, "ResNetSE": 3e-2, "Res2Net": 5e-2,
+             "ERes2Net": 2e-1, "ERes2NetV2": 2e-1}
+
+# 3 SGD(momentum) steps compound that rounding; worst same-scale delta
+# leaves measured: ERes2NetV2 0.071, Res2Net 0.064, ERes2Net 0.051 — the
+# GLOBAL whole-tree delta stays within the default 5% for every backbone
+# (the aggregate guard is not widened).
+_DELTA_KW = {
+    "TDNN": {}, "ResNetSE": {},
+    "Res2Net": dict(delta_tol=1e-1, floor_frac=1e-1),
+    "ERes2Net": dict(delta_tol=1e-1, floor_frac=1e-1),
+    "ERes2NetV2": dict(delta_tol=1e-1, floor_frac=1e-1),
+}
+
+
+@pytest.mark.parametrize("name", _NEW_NAMES)
+def test_backbone_grad_f64_groundtruth(name):
+    _run_f64_groundtruth(name)
+
+
+@pytest.mark.parametrize("name", _NEW_NAMES)
+def test_backbone_grad_and_stat_parity(name):
+    args, input_size, t_len, fwd = _F64_CASES[name]
+    _grad_and_stat_parity(name, args, input_size=input_size, t_len=t_len,
+                          torch_fwd=fwd, grad_tol=_GRAD_TOL[name])
+
+
+@pytest.mark.parametrize("name", _NEW_NAMES)
+def test_backbone_sgd_delta_parity(name):
+    args, input_size, t_len, fwd = _F64_CASES[name]
+    _delta_parity(name, args, input_size=input_size, t_len=t_len,
+                  torch_fwd=fwd, **_DELTA_KW[name])
 
 
 def test_adam_matches_torch_adam():

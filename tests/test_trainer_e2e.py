@@ -9,6 +9,8 @@ import wave as wave_mod
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
+
 from voiceprintrecognition_paddlepaddle_tpu.trainer import Trainer
 
 SR = 16000
@@ -228,7 +230,7 @@ def test_eval_fast_path_failure_falls_back(workdir, tmp_path):
     t.train(save_model_path=save, log_dir=str(tmp_path / "log_fb"),
             do_eval=False)
 
-    def boom_factory(variables):
+    def boom_factory(variables, **kwargs):
         def boom(waves, ratios):
             raise RuntimeError("mosaic lowering failed")
         return boom

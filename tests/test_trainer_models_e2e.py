@@ -7,6 +7,8 @@ import wave as wave_mod
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the < 5-min fast tier
+
 from voiceprintrecognition_paddlepaddle_tpu.trainer import Trainer
 
 SR = 16000
