@@ -83,7 +83,7 @@ def phase_embed():
     """wav → Fbank → CAM++ → embedding, utt/s, device-serial chained.
 
     The Pallas kernel stack is selected by env flags set by the parent
-    (VPR_BENCH_XLA / VPR_FCM_PALLAS / VPR_TRUNK_UNIFORM_GATES); a failed
+    (VPR_BENCH_XLA / VPR_FCM_PALLAS / VPR_TRUNK_VARIANT); a failed
     kernel never needs in-process state rollback because a degraded
     attempt is a fresh process.
     """

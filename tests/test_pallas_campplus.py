@@ -220,13 +220,10 @@ def test_sharded_embed_fn_matches_single_device(model_and_vars):
     assert got.shape == ref.shape == (11, 192)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
 
-    # exact-length batch (uniform_tv static path), ratios=None. With
-    # VPR_TRUNK_UNIFORM_GATES=1 the sharded path engages the uniform
-    # reshape-gating variant while the single-device masked reference
-    # uses the pooling matmuls — same math, different summation order,
-    # so tolerance is rounding-level (measured max |diff| 3.7e-5)
-    # rather than bit-exact; with the default (gates off) both sides
-    # use the pooling matmuls and the comparison is near-exact
+    # exact-length batch, ratios=None; both sides use the pooling
+    # matmuls so the comparison is near-exact (the reshape-gating
+    # "uniform gates" variant was device-measured 20x slower and
+    # deleted — ROADMAP "Measured decisions")
     waves_u = (rng.randn(8, 16000) * 0.05).astype(np.float32)
     got_u = np.asarray(sharded(waves_u))
     ref_u = np.asarray(single(waves_u, np.ones((8,), np.float32)))

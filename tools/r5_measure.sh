@@ -29,6 +29,9 @@ timeout 1200 python tools/hbm_bw_probe.py
 #    matmul floors + relayout costs
 timeout 5400 python tools/fcm_floor_bench.py 256 3.0 50
 
-# 6. uniform-gate trunk variant offline compile probe (65-min budget;
-#    ROADMAP "Measured decisions" records the outcome)
-VPR_TRUNK_UNIFORM_GATES=1 timeout 3900 python tools/trunk_compile_probe.py 3.0 256
+# 6. trunk-kernel steady state (this tool's measurement with
+#    VPR_TRUNK_UNIFORM_GATES=1 at the variant's last commit is what
+#    killed the uniform-gates variant: 95.26 ms/batch vs ~4.6 ms —
+#    ROADMAP "Measured decisions"; on HEAD it benches the production
+#    kernel)
+timeout 3600 python tools/ug_steady_bench.py 3.0 256

@@ -116,16 +116,12 @@ def _fcm_forward(model, variables, feats, interpret, packed_fcm=None):
 # group ceiling (see _kernel_looped)
 _RANGE = 8
 
-# uniform-bucket CAM gating (unrolled kernel): compute segment pooling /
-# gate scatter with static reshape reductions instead of the pt/ssel
-# matmuls when every utterance has the same valid length (the
-# exact-length serving hot path). OFF by default: the per-layer slice
-# reductions deepen the 52-layer unrolled body enough that the fresh
-# Mosaic compile never finished inside a 15-minute device budget
-# (vs ~0.5 ms projected step win on a 13.5 ms path) — opt in with
-# VPR_TRUNK_UNIFORM_GATES=1 for long-lived servers that amortise the
-# compile behind the persistent cache.
-_UNIFORM_GATES = os.environ.get("VPR_TRUNK_UNIFORM_GATES", "0") == "1"
+# A "uniform-gates" variant (CAM segment pooling / gate scatter as
+# static reshape reductions instead of the pt/ssel matmuls for
+# exact-length buckets) was built, device-measured, and DELETED in
+# round 5: fresh Mosaic compile 18-31 min and steady state 95.26
+# ms/batch-256 vs ~4.6 ms for the matmul gating — see ROADMAP.md
+# "Measured decisions" and tools/ug_steady_bench.py.
 
 
 def _use_looped(t_pad):
@@ -322,7 +318,7 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
             w_cam1T_ref, w_cam2T_ref, w_t0_ref, w_t1_ref, w_t2_ref,
             wide_a_ref, wide_b_ref, tbias_ref, narrow_ref, cam_bias_ref,
             pt_ref, msel_ref, ssel_ref, mask_ref, out_ref, xcat_ref, *,
-            plan, u, t_pad, compute_dtype, uniform_tv=None):
+            plan, u, t_pad, compute_dtype):
     f32 = jnp.float32
     growth, bn_ch = plan["growth"], plan["bn_ch"]
     L = plan["n_layers"]
@@ -406,27 +402,14 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
             if _ABLATE == "nocam":
                 gate = 1.0
             else:
-                if uniform_tv is None:
-                    # ragged bucket: pooled means/segments via the
-                    # data-driven pooling matrices
-                    pooled = jnp.dot(pt, x2.astype(f32),
-                                     preferred_element_type=f32)
-                    ctx = jnp.dot(msel, pooled,
-                                  preferred_element_type=f32)  # (G_pad, bn)
-                else:
-                    # uniform bucket (the exact-length serving hot path):
-                    # segment pooling as STATIC reshape reductions — the
-                    # pt matmul is ~1/3 of the 52-layer gate-chain cost
-                    x3 = x2.astype(f32).reshape(u, t_pad, bn_ch)
-                    mean = x3[:, :uniform_tv].sum(1) * (1.0 / uniform_tv)
-                    n_seg_u = -(-uniform_tv // SEG_LEN)
-                    segs = []
-                    for s in range(n_seg_u):
-                        s0 = s * SEG_LEN
-                        s1 = min((s + 1) * SEG_LEN, uniform_tv)
-                        segs.append(x3[:, s0:s1].sum(1) * (1.0 / (s1 - s0))
-                                    + mean)
-                    ctx = jnp.stack(segs, 1).reshape(u * n_seg_u, bn_ch)
+                # pooled means/segments via the data-driven pooling
+                # matrices (works for ragged AND uniform buckets; a
+                # static-reshape uniform variant measured 20x slower —
+                # see ROADMAP "Measured decisions")
+                pooled = jnp.dot(pt, x2.astype(f32),
+                                 preferred_element_type=f32)
+                ctx = jnp.dot(msel, pooled,
+                              preferred_element_type=f32)  # (G_pad, bn)
                 c1 = dotT(ctx.astype(compute_dtype),
                           w_cam1T_ref[l * (bn_ch // 2):
                                       (l + 1) * (bn_ch // 2)])
@@ -438,22 +421,8 @@ def _kernel(xe_ref, xo_ref, w_stem_ref, w_lin1_ref, w_localT_ref,
                          w_cam2T_ref[l * growth:(l + 1) * growth])
                 g = jax.nn.sigmoid(
                     g + cam_bias_ref[l:l + 1, growth:2 * growth])
-                if uniform_tv is None:
-                    gate = jnp.dot(ssel, g.astype(compute_dtype),
-                                   preferred_element_type=f32)  # (rows, g)
-                else:
-                    # scatter back: each segment's gate repeats over its
-                    # SEG_LEN frames (out is masked past tv, so the tail
-                    # values are don't-cares)
-                    g3 = jnp.broadcast_to(
-                        g.reshape(u, n_seg_u, 1, growth),
-                        (u, n_seg_u, SEG_LEN, growth)).reshape(
-                            u, n_seg_u * SEG_LEN, growth)
-                    if n_seg_u * SEG_LEN < t_pad:
-                        g3 = jnp.pad(
-                            g3, ((0, 0), (0, t_pad - n_seg_u * SEG_LEN),
-                                 (0, 0)))
-                    gate = g3[:, :t_pad].reshape(rows, growth)
+                gate = jnp.dot(ssel, g.astype(compute_dtype),
+                               preferred_element_type=f32)  # (rows, g)
 
             out = (y * gate * mask).astype(compute_dtype)
             c0 = plan["blocks"][b]["c_in"]
@@ -490,8 +459,7 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                    w_cam1T_ref, w_cam2T_ref, w_t0_ref, w_t1_ref, w_t2_ref,
                    wide_a_ref, wide_b_ref, tbias_ref, narrow_ref,
                    cam_bias_ref, pt_ref, msel_ref, ssel_ref, mask_ref,
-                   out_ref, xcat_ref, *, plan, u, t_pad, compute_dtype,
-                   uniform_tv=None):
+                   out_ref, xcat_ref, *, plan, u, t_pad, compute_dtype):
     """The whole CAM++ trunk with the 52 CAM layers as three per-block
     ``fori_loop``s (one traced body per block) over a channel-GROUP layout:
     the growing concat lives as ``(8, rows, 128)`` groups in VMEM, each
@@ -603,24 +571,10 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                 gate = 1.0
             else:
                 # CAM context gate
-                if uniform_tv is None:
-                    pooled = jnp.dot(pt, x2.astype(f32),
-                                     preferred_element_type=f32)
-                    ctx = jnp.dot(msel, pooled,
-                                  preferred_element_type=f32)
-                else:
-                    # uniform bucket: static reshape reductions (see the
-                    # unrolled kernel's gate block)
-                    x3 = x2.astype(f32).reshape(u, t_pad, bn_ch)
-                    mn = x3[:, :uniform_tv].sum(1) * (1.0 / uniform_tv)
-                    n_seg_u = -(-uniform_tv // SEG_LEN)
-                    segs = []
-                    for s in range(n_seg_u):
-                        s0 = s * SEG_LEN
-                        s1 = min((s + 1) * SEG_LEN, uniform_tv)
-                        segs.append(
-                            x3[:, s0:s1].sum(1) * (1.0 / (s1 - s0)) + mn)
-                    ctx = jnp.stack(segs, 1).reshape(u * n_seg_u, bn_ch)
+                pooled = jnp.dot(pt, x2.astype(f32),
+                                 preferred_element_type=f32)
+                ctx = jnp.dot(msel, pooled,
+                              preferred_element_type=f32)
                 w1 = w_cam1T_ref[pl.ds(l, 1), :, :][0]
                 c1 = dotT(ctx.astype(compute_dtype), w1)
                 c1 = jnp.maximum(
@@ -628,20 +582,8 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
                 w2 = w_cam2T_ref[pl.ds(l, 1), :, :][0]
                 g = dotT(c1.astype(compute_dtype), w2)
                 g = jax.nn.sigmoid(g + cb[:, growth:2 * growth])
-                if uniform_tv is None:
-                    gate = jnp.dot(ssel, g.astype(compute_dtype),
-                                   preferred_element_type=f32)
-                else:
-                    n_seg_u = -(-uniform_tv // SEG_LEN)
-                    g3 = jnp.broadcast_to(
-                        g.reshape(u, n_seg_u, 1, growth),
-                        (u, n_seg_u, SEG_LEN, growth)).reshape(
-                            u, n_seg_u * SEG_LEN, growth)
-                    if n_seg_u * SEG_LEN < t_pad:
-                        g3 = jnp.pad(
-                            g3, ((0, 0), (0, t_pad - n_seg_u * SEG_LEN),
-                                 (0, 0)))
-                    gate = g3[:, :t_pad].reshape(rows, growth)
+                gate = jnp.dot(ssel, g.astype(compute_dtype),
+                               preferred_element_type=f32)
 
             out = ((y * gate) * mask).astype(compute_dtype)
             gi = g0 + li // 4
@@ -705,7 +647,7 @@ def _kernel_looped(xe_ref, xo_ref, w_stem_ref, w_lin1g_ref, w_localT_ref,
 @functools.partial(jax.jit, static_argnames=("plan_key", "interpret"))
 def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
                        interpret):
-    (t_pad, u, uniform_tv) = plan_key
+    (t_pad, u) = plan_key
     plan = trunk_plan()
     rows = u * t_pad
     grid = (xe.shape[0] // rows,)
@@ -713,7 +655,7 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
 
     kernel = functools.partial(
         _kernel_looped, plan=plan, u=u, t_pad=t_pad,
-        compute_dtype=jnp.bfloat16, uniform_tv=uniform_tv)
+        compute_dtype=jnp.bfloat16)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
@@ -769,15 +711,14 @@ def _trunk_call_looped(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
 @functools.partial(jax.jit, static_argnames=("plan_key", "interpret"))
 def _trunk_call(packed, xe, xo, pt, msel, ssel, mask, *, plan_key,
                 interpret):
-    (t_pad, u, uniform_tv) = plan_key
+    (t_pad, u) = plan_key
     plan = trunk_plan()
     rows = u * t_pad
     grid = (xe.shape[0] // rows,)
     cf = plan["final_channels"]
 
     kernel = functools.partial(
-        _kernel, plan=plan, u=u, t_pad=t_pad, compute_dtype=jnp.bfloat16,
-        uniform_tv=uniform_tv)
+        _kernel, plan=plan, u=u, t_pad=t_pad, compute_dtype=jnp.bfloat16)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
@@ -885,14 +826,11 @@ def trunk_geometry(t_raw, u=None):
 
 
 def trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask, corr,
-                           t_pad, u, interpret=False, uniform_tv=None):
+                           t_pad, u, interpret=False):
     """Jit-friendly core: pooling matrices / mask / std-correction are
     traced ARGUMENTS, so mixed-length bucketed batches reuse one compiled
     program. ``fcm_out`` must already be batch-padded to a multiple of
-    ``u``; returns padded ``(B_pad, 2*cf)`` stats. ``uniform_tv``
-    (static): every utterance exactly this many valid trunk frames —
-    the unrolled kernel then computes the CAM context with static
-    reshape reductions instead of the pooling matmuls."""
+    ``u``; returns padded ``(B_pad, 2*cf)`` stats."""
     plan = trunk_plan()
     b_pad, t_raw, c_in = fcm_out.shape
     t_valid = (t_raw + 2 * 2 - 5) // 2 + 1
@@ -910,9 +848,8 @@ def trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask, corr,
         call = _trunk_call_looped
     else:
         call = _trunk_call
-    key = (t_pad, u, uniform_tv if _UNIFORM_GATES else None)
     out = call(packed, xe, xo, pt, msel, ssel, mask,
-               plan_key=key, interpret=interpret)
+               plan_key=(t_pad, u), interpret=interpret)
     cf = plan["final_channels"]
     return jnp.concatenate([out[:, :cf], out[:, cf:] * corr[:, None]], -1)
 
@@ -942,18 +879,15 @@ def trunk_stats_pallas(variables, fcm_out, interpret=False, u=None,
 
     if tvalids is None:
         tv_list = [t_valid] * b_pad
-        uniform_tv = t_valid
     else:
         tv_list = [max(1, min(int(t), t_valid)) for t in tvalids]
         tv_list += [t_valid] * (b_pad - b)
-        uniform_tv = None
     pt, msel, ssel, mask = (jnp.asarray(m) for m in
                             _pool_matrices(tv_list, t_pad, u, n_segs))
     corr = jnp.sqrt(jnp.asarray(
         [tv / max(tv - 1, 1) for tv in tv_list], jnp.float32))
     out = trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel, mask,
-                                 corr, t_pad, u, interpret=interpret,
-                                 uniform_tv=uniform_tv)
+                                 corr, t_pad, u, interpret=interpret)
     return out[:b]
 
 
@@ -1101,26 +1035,23 @@ def make_campplus_sharded_eval_embed_fn(model, featurizer, mesh,
                    dtype=model.dtype)
 
     def shard_fn(variables, packed, packed_fcm, waves, ratios,
-                 pt, msel, ssel, mask, corr, *, t_pad, u, uniform_tv):
+                 pt, msel, ssel, mask, corr, *, t_pad, u):
         feats = featurizer.featurize(waves, input_lens_ratio=ratios)
         fcm_out = _fcm_forward(model, variables, feats, interpret,
                                packed_fcm)
         stats = trunk_stats_from_parts(packed, fcm_out, pt, msel, ssel,
                                        mask, corr, t_pad, u,
-                                       interpret=interpret,
-                                       uniform_tv=uniform_tv)
+                                       interpret=interpret)
         return head.apply(
             {"params": variables["params"]["DenseBN_0"],
              "batch_stats": variables["batch_stats"]["DenseBN_0"]},
             stats.astype(model.dtype or jnp.float32), train=False)
 
-    @functools.partial(jax.jit,
-                       static_argnames=("t_pad", "u", "uniform_tv"))
+    @functools.partial(jax.jit, static_argnames=("t_pad", "u"))
     def inner(variables, packed, packed_fcm, waves, ratios,
-              pt, msel, ssel, mask, corr, *, t_pad, u, uniform_tv):
+              pt, msel, ssel, mask, corr, *, t_pad, u):
         from jax.sharding import PartitionSpec as P
-        fn = functools.partial(shard_fn, t_pad=t_pad, u=u,
-                               uniform_tv=uniform_tv)
+        fn = functools.partial(shard_fn, t_pad=t_pad, u=u)
         return jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(), P(), P(),
@@ -1148,7 +1079,6 @@ def make_campplus_sharded_eval_embed_fn(model, featurizer, mesh,
                 [ratios, np.ones((b_pad - b,), np.float32)])
         tv = [max(1, min(int(math.ceil(r * t_valid)), t_valid))
               for r in ratios]
-        uniform_tv = t_valid if all(t == t_valid for t in tv) else None
         pt, msel, ssel, mask = _pool_matrices(tv, t_pad, u, n_segs)
         corr = np.sqrt(np.asarray(
             [t / max(t - 1, 1) for t in tv], np.float32))
@@ -1156,7 +1086,7 @@ def make_campplus_sharded_eval_embed_fn(model, featurizer, mesh,
                     jnp.asarray(waves), jnp.asarray(ratios),
                     jnp.asarray(pt), jnp.asarray(msel), jnp.asarray(ssel),
                     jnp.asarray(mask), jnp.asarray(corr),
-                    t_pad=t_pad, u=u, uniform_tv=uniform_tv)
+                    t_pad=t_pad, u=u)
         return np.asarray(emb)[:b]
 
     return call
