@@ -83,7 +83,8 @@ def phase_embed():
     """wav → Fbank → CAM++ → embedding, utt/s, device-serial chained.
 
     The Pallas kernel stack is selected by env flags set by the parent
-    (VPR_BENCH_XLA / VPR_FCM_PALLAS / VPR_TRUNK_VARIANT); a failed
+    (VPR_BENCH_XLA / VPR_FBANK_PALLAS / VPR_FCM_PALLAS /
+    VPR_TRUNK_VARIANT); a failed
     kernel never needs in-process state rollback because a degraded
     attempt is a fresh process.
     """
@@ -307,9 +308,9 @@ def main():
     # unsupported construct must not forfeit the rest of the stack
     # NOTE the default stack at 3 s buckets is already fbank kernel +
     # XLA FCM (measured crossover at 1000 frames) + unrolled trunk with
-    # matmul CAM gates (uniform-gate reshape variant is opt-in: its
-    # fresh Mosaic compile blew a 15-min budget), so the only meaningful
-    # degradation left is dropping to pure XLA.
+    # matmul CAM gates (the reshape-gating variant was measured 20x
+    # slower and deleted — ROADMAP "Measured decisions"), so the only
+    # meaningful degradation left is dropping to pure XLA.
     # The looped-trunk rung trades ~2 ms/batch of step time for a ~25 s
     # fresh compile (vs ~6 min unrolled) — a far smaller window for this
     # lab's tunnel to wedge in, and a round-3 device-proven program.

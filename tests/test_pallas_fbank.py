@@ -51,3 +51,16 @@ def test_compute_feature_cmn_stays_split():
                                      input_lens_ratio=ratios))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 1e-5
+
+    # the actual fold guard (on CPU the dispatcher never engages the
+    # kernel, so the check above alone would be f(x) == f(x)): the
+    # KERNEL's interpret-mode output must be RAW log-mel — if anyone
+    # re-folds CMN/masking inside, this diverges by the mean magnitude
+    raw = np.asarray(fbank_pallas(waves, sr=16000, n_mels=80,
+                                  interpret=True))
+    ref_raw = np.asarray(kaldi.fbank(waves, sr=16000, n_mels=80))
+    assert np.abs(raw - ref_raw).max() < 2e-3
+    # and raw kernel output + the split CMN reproduces the dispatcher
+    # result within the kernel's bf16-DFT tolerance
+    got_split = np.asarray(apply_cmn_and_mask(raw, ratios))
+    assert np.abs(got_split - ref).max() < 2e-3

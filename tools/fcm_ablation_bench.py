@@ -24,7 +24,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(__file__))
+from _bench import cache_dir, kaldi_frames
+jax.config.update("jax_compilation_cache_dir", cache_dir())
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,7 +39,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     secs = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 50
-    t = (int(secs * 16000) - 240) // 160 - 1
+    t = kaldi_frames(secs * 16000)
     print(f"batch={batch} T={t} iters={iters} dev={jax.devices()[0]}")
 
     rng = np.random.RandomState(0)
@@ -80,12 +82,11 @@ def main():
     for name, ablate in (("full", False), ("no_copies", True)):
         run = chain(ablate)
         t0 = time.perf_counter()
-        out = run(x1)
-        jax.block_until_ready(out)
+        # sync timed regions by host transfer (see tools/_bench.py)
+        float(np.asarray(run(x1)[1]))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out = run(x1)
-        jax.block_until_ready(out)
+        float(np.asarray(run(x1)[1]))
         per = (time.perf_counter() - t0) / iters * 1000
         results[name] = per
         print(f"{name:10s} compile+first {compile_s:7.2f}s   "

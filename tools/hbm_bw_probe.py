@@ -14,7 +14,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(__file__))
+from _bench import cache_dir
+jax.config.update("jax_compilation_cache_dir", cache_dir())
 import jax.numpy as jnp
 import numpy as np
 

@@ -1024,9 +1024,10 @@ def make_campplus_sharded_eval_embed_fn(model, featurizer, mesh,
     (the per-epoch ``Trainer.evaluate()`` path on >1 local devices).
     The batch is padded internally to a multiple of ``u * n_devices`` so
     every shard sees identical static shapes; per-utterance pooling
-    weights/masks are built host-side and sharded alongside the batch,
-    and the uniform-gate variant engages when every utterance is
-    exact-length."""
+    weights/masks are built host-side and sharded alongside the batch
+    (the pooling matmuls serve exact-length and ragged batches alike —
+    the reshape-gating exact-length variant was measured 20x slower
+    and deleted, ROADMAP "Measured decisions")."""
     from .layers import DenseBN
 
     n_dev = int(mesh.devices.size)
